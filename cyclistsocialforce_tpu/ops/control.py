@@ -1,0 +1,121 @@
+"""Control-engineering primitives: PID, pole placement, discretization.
+
+Pure-JAX replacements for the reference's uses of the `control` toolbox
+(reference dynamics.py:21-54, 1167-1227; vehicle.py:1810-1848):
+
+  - stateful PID as a pure function over (error, integral) state
+  - Ackermann pole placement for single-input systems (closed-form
+    replacement of the per-step `ct.place`)
+  - DC-gain based reference scaling (replacement of the 1000-sample
+    simulated step response in `from_pole_placement`)
+  - exact zero-order-hold discretization via the augmented-matrix
+    exponential (replacement of `ct.forced_response` over one sample)
+
+All functions are batched/vmap-friendly and shape-static.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+# --------------------------------------------------------------------------
+# PID
+# --------------------------------------------------------------------------
+
+
+def pid_step(e, e_prev, i_prev, kp, ki, kd, dt):
+    """One PID step; exact port of PIDcontroller.step (reference
+    dynamics.py:33-54), including its sign convention for the derivative
+    term d = kd * (e_prev - e) / dt and the integral using the NEW error.
+
+    Returns (out, e, i_new) so the caller can thread the controller state.
+    """
+    d = kd * (e_prev - e) / dt
+    i_new = i_prev + ki * e * dt
+    out = kp * e + i_new + d
+    return out, e, i_new
+
+
+# --------------------------------------------------------------------------
+# pole placement (SISO, closed form)
+# --------------------------------------------------------------------------
+
+
+def poly_from_roots(roots):
+    """Monic polynomial coefficients from roots, highest power first.
+
+    Complex roots must come in conjugate pairs for a real polynomial;
+    the caller takes the real part.
+    """
+    n = roots.shape[0]
+    # lowest-power-first accumulation: p <- p * (x - r) = shift(p) - r p
+    c = jnp.zeros((n + 1,), dtype=roots.dtype).at[0].set(1.0)
+    for k in range(n):
+        shifted = jnp.concatenate(
+            [jnp.zeros((1,), dtype=c.dtype), c[:-1]])
+        c = shifted - roots[k] * c
+    return c[::-1]
+
+
+def place_siso(A, B, poles):
+    """Ackermann pole placement for a single-input system.
+
+    Closed-form equivalent of `ct.place(A, B, poles)` for SISO systems
+    (the reference calls it per step inside from_pole_placement,
+    dynamics.py:1167-1227 -- placement is unique for single-input systems,
+    so the algorithms agree).
+
+    Parameters
+    ----------
+    A : [n, n], B : [n] or [n, 1], poles : [n] complex.
+
+    Returns K : [n] real gain vector.
+    """
+    B = B.reshape(-1)
+    n = A.shape[0]
+    # controllability matrix [B, AB, ..., A^{n-1}B]
+    cols = [B]
+    for _ in range(n - 1):
+        cols.append(A @ cols[-1])
+    ctrb = jnp.stack(cols, axis=1)
+    # desired characteristic polynomial phi(A), evaluated by Horner's rule
+    poles = jnp.asarray(poles, dtype=jnp.complex128
+                        if A.dtype == jnp.float64 else jnp.complex64)
+    coeffs = jnp.real(poly_from_roots(poles)).astype(A.dtype)
+    phiA = jnp.zeros_like(A)
+    for k in range(n + 1):
+        phiA = phiA @ A + coeffs[k] * jnp.eye(n, dtype=A.dtype)
+    en = jnp.zeros((n,), dtype=A.dtype).at[-1].set(1.0)
+    K = en @ jnp.linalg.solve(ctrb, phiA)
+    return K
+
+
+def dc_gain(Acl, B, C):
+    """Steady-state output of a stable closed-loop system under unit step:
+    y_ss = -C Acl^{-1} B.
+
+    Replaces the reference's 10 s simulated step response used to scale the
+    reference gain K_u (dynamics.py:1212-1225); for asymptotically stable
+    systems the two agree to ~exp(-lambda_min * 9.9).
+    """
+    B = B.reshape(-1, 1)
+    x_ss = -jnp.linalg.solve(Acl, B)
+    return (C @ x_ss).reshape(())
+
+
+def discretize_zoh(A, B, dt):
+    """Exact zero-order-hold discretization via the augmented exponential.
+
+    expm([[A, B], [0, 0]] dt) = [[Ad, Bd], [0, I]]. Equivalent to what
+    `ct.forced_response` computes over one sample with constant input
+    (reference vehicle.py:1835-1842, dynamics.py:235-243).
+    """
+    n = A.shape[0]
+    B = B.reshape(n, -1)
+    m = B.shape[1]
+    aug = jnp.zeros((n + m, n + m), dtype=A.dtype)
+    aug = aug.at[:n, :n].set(A * dt)
+    aug = aug.at[:n, n:].set(B * dt)
+    e = jsl.expm(aug)
+    return e[:n, :n], e[:n, n:]

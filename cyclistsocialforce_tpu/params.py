@@ -1,0 +1,391 @@
+"""Parameter pytrees for the TPU-native cyclist social-force framework.
+
+Re-design of the reference's validated property-bag hierarchy
+(reference: src/cyclistsocialforce/parameters.py:421-1970) as frozen
+`flax.struct` dataclasses whose numeric fields are pytree leaves. Every
+numeric field may be a scalar or an ``[N]`` array, so a single params object
+describes a whole (possibly heterogeneous) agent population and traces
+cleanly through jit/vmap/shard_map.
+
+Validation semantics match the reference, including ``calib_mode``
+(clamp-and-warn instead of raise, parameters.py:621-631). Validation runs
+once at construction time (`create`) on concrete host values and never
+inside traced code.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+LIMIT_PREC = 1e-4  # reference parameters.py:428
+
+_TWO_PI = 2.0 * np.pi
+
+
+def _err(calib_mode: bool, verbose: bool, msg: str):
+    if calib_mode:
+        if verbose:
+            warnings.warn(msg)
+        return True
+    raise ValueError(msg)
+
+
+def _chk_nonneg(name, val, calib_mode=False, verbose=True, clamp_to=LIMIT_PREC):
+    val = np.asarray(val, dtype=float)
+    if np.any(val < 0):
+        _err(calib_mode, verbose, f"{name} must be >=0, instead it was {val}")
+        val = np.where(val < 0, clamp_to, val)
+    return val
+
+
+def _chk_range(name, val, lo, hi, calib_mode=False, verbose=True,
+               clamp=(None, None), lo_open=False, hi_open=False):
+    val = np.asarray(val, dtype=float)
+    bad_lo = (val <= lo) if lo_open else (val < lo)
+    bad_hi = (val >= hi) if hi_open else (val > hi)
+    if np.any(bad_lo | bad_hi):
+        _err(calib_mode, verbose,
+             f"{name} must be in [{lo},{hi}], instead it was {val}")
+        c_lo = lo if clamp[0] is None else clamp[0]
+        c_hi = hi if clamp[1] is None else clamp[1]
+        val = np.clip(val, c_lo, c_hi)
+    return val
+
+
+def _pair(name, val):
+    """Validate a (negative, positive) limit pair, e.g. a_max, v_max_riding."""
+    val = np.asarray(val, dtype=float)
+    if val.shape[-1] != 2:
+        raise TypeError(f"{name} must be a (min, max) pair.")
+    if np.any(val[..., 0] >= 0) or np.any(val[..., 1] <= 0):
+        raise ValueError(
+            f"{name}[0] must be <0 and {name}[1] must be >0, "
+            f"instead it was {val}")
+    return val
+
+
+class VehicleParams(struct.PyTreeNode):
+    """Tactical + repulsive-force-field parameters of a generic vehicle.
+
+    Defaults equal reference parameters.py:430-451.
+    """
+
+    t_s: Any = 0.01
+    d_arrived_inter: Any = 2.0
+    d_arrived_stop: Any = 2.0
+    v_max_stop: Any = 0.1
+    v_max_harddecel: Any = 2.5
+    hfov: Any = _TWO_PI
+    # Repulsive force-field parameters (BMD2023 "2D model" field shape).
+    f_0: Any = 7.0
+    e_0: Any = 0.995
+    e_1: Any = 0.7
+    sigma_0: Any = 0.5
+    sigma_1: Any = 5.0
+    sigma_2: Any = 0.3
+    sigma_3: Any = 4.9
+    # Pluggable extra parameter dicts for external force models
+    # (reference vehicle.py:111-125, external.py:141-181).
+    rep_force: dict = struct.field(default_factory=dict)
+    dest_force: dict = struct.field(default_factory=dict)
+
+    @classmethod
+    def create(cls, calib_mode: bool = False, verbose: bool = True, **kw):
+        """Validated construction (mirrors reference property setters)."""
+        base = {f: kw.pop(f, getattr(cls, f)) for f in
+                ("t_s", "d_arrived_inter", "d_arrived_stop", "v_max_stop",
+                 "v_max_harddecel", "hfov", "f_0", "e_0", "e_1",
+                 "sigma_0", "sigma_1", "sigma_2", "sigma_3")}
+        rep_force = kw.pop("rep_force", {})
+        dest_force = kw.pop("dest_force", {})
+
+        base["t_s"] = _chk_nonneg("t_s", base["t_s"])
+        base["d_arrived_inter"] = _chk_nonneg("d_arrived_inter",
+                                              base["d_arrived_inter"])
+        base["d_arrived_stop"] = _chk_nonneg("d_arrived_stop",
+                                             base["d_arrived_stop"])
+        base["v_max_stop"] = _chk_nonneg("v_max_stop", base["v_max_stop"])
+        base["v_max_harddecel"] = _chk_nonneg("v_max_harddecel",
+                                              base["v_max_harddecel"])
+        base["hfov"] = _chk_range("hfov", base["hfov"], 0.0, _TWO_PI,
+                                  lo_open=True)
+        cm, vb = calib_mode, verbose
+        base["f_0"] = _chk_nonneg("f_0", base["f_0"], cm, vb)
+        # e_1 before e_0 (reference initialises _e_1 = 0 first,
+        # parameters.py:501-504).
+        e1 = np.asarray(base["e_1"], dtype=float)
+        e0 = np.asarray(base["e_0"], dtype=float)
+        if np.any((e0 <= e1) | (e0 > 1)):
+            _err(cm, vb, f"e_0 must be in ]e_1={e1}, 1], instead {e0}")
+            e0 = np.clip(e0, e1 * 1.001, 0.99999)
+        if np.any((e1 < 0) | (e1 >= e0)):
+            _err(cm, vb, f"e_1 must be in [0, e_0={e0}[, instead {e1}")
+            e1 = np.clip(e1, 0.0, 0.99999 * e0)
+        base["e_0"], base["e_1"] = e0, e1
+        base["sigma_0"] = _chk_nonneg("sigma_0", base["sigma_0"], cm, vb)
+        base["sigma_1"] = _chk_nonneg("sigma_1", base["sigma_1"], cm, vb)
+        base["sigma_2"] = _chk_range(
+            "sigma_2", base["sigma_2"], 0.0, base["sigma_0"], cm, vb,
+            clamp=(0.0, base["sigma_0"] - LIMIT_PREC), lo_open=True,
+            hi_open=True)
+        # Reference quirk (parameters.py:722-733): in calib mode sigma_3 is
+        # warned about but NOT clamped (the clamp assigns to a dead local).
+        s3 = np.asarray(base["sigma_3"], dtype=float)
+        if np.any((s3 <= 0) | (s3 >= base["sigma_1"])):
+            _err(cm, vb,
+                 f"sigma_3 must be in ]0, sigma_1={base['sigma_1']}[, "
+                 f"instead it was {s3}")
+        base["sigma_3"] = s3
+
+        return cls(rep_force=rep_force, dest_force=dest_force, **base, **kw)
+
+
+class CarParams(VehicleParams):
+    """Reference parameters.py:753-763."""
+
+    length: Any = 4.0
+    width: Any = 2.0
+
+
+class BicycleParams(VehicleParams):
+    """Bicycle + rider parameters (reference parameters.py:766-935).
+
+    Defaults per reference (v_max_riding [-1, 10], hfov 2*pi/3, ...).
+    """
+
+    hfov: Any = _TWO_PI * 2.0 / 6.0  # np.pi * 2 / 3
+    v_max_stop: Any = 0.6
+    v_max_riding: Any = (-1.0, 10.0)
+    v_desired_default: Any = 5.0
+    p_decay: Any = 5.0
+    p_0: Any = 30.0
+    l: Any = 1.0
+    l_1: Any = 0.5
+    l_2: Any = 0.5
+    delta_max: Any = 1.4
+    a_max: Any = (-10.0, 10.0)
+    a_desired_default: Any = (-5.0, 5.0)
+    k_p_v: Any = 10.0
+    k_p_delta: Any = 10.0
+    g: Any = 9.81
+
+    @classmethod
+    def create(cls, calib_mode: bool = False, verbose: bool = True, **kw):
+        # Wheelbase constraint solver (reference parameters.py:891-921):
+        # exactly one of l, l_1, l_2 may be omitted; l = l_1 + l_2 must hold.
+        l = kw.pop("l", "unset")
+        l_1 = kw.pop("l_1", "unset")
+        l_2 = kw.pop("l_2", "unset")
+        if l == "unset" and l_1 == "unset" and l_2 == "unset":
+            l, l_1, l_2 = cls.l, cls.l_1, cls.l_2
+        else:
+            l = None if l == "unset" else l
+            l_1 = None if l_1 == "unset" else l_1
+            l_2 = None if l_2 == "unset" else l_2
+            if l_1 is None and l_2 is None:
+                assert l is not None, \
+                    "If l_1 and l_2 are None, l may not be None!"
+                l_1 = np.asarray(l) / 2
+                l_2 = np.asarray(l) / 2
+            elif l is None:
+                l = np.asarray(l_1) + np.asarray(l_2)
+            elif l_1 is None:
+                l_1 = np.asarray(l) - np.asarray(l_2)
+            elif l_2 is None:
+                l_2 = np.asarray(l) - np.asarray(l_1)
+            else:
+                assert np.allclose(np.asarray(l),
+                                   np.asarray(l_1) + np.asarray(l_2)), \
+                    "Equality l = l_1 + l_2 must hold!"
+
+        fields = {
+            "v_max_riding": _pair("v_max_riding",
+                                  kw.pop("v_max_riding", cls.v_max_riding)),
+            "v_desired_default": _chk_nonneg(
+                "v_desired_default",
+                kw.pop("v_desired_default", cls.v_desired_default)),
+            "p_decay": _chk_nonneg("p_decay", kw.pop("p_decay", cls.p_decay)),
+            "p_0": _chk_nonneg("p_0", kw.pop("p_0", cls.p_0)),
+            "l": _chk_nonneg("l", l),
+            "l_1": _chk_nonneg("l_1", l_1),
+            "l_2": _chk_nonneg("l_2", l_2),
+            "delta_max": _chk_range(
+                "delta_max", kw.pop("delta_max", cls.delta_max), 0.0, np.pi),
+            "a_max": _pair("a_max", kw.pop("a_max", cls.a_max)),
+            "a_desired_default": _pair(
+                "a_desired_default",
+                kw.pop("a_desired_default", cls.a_desired_default)),
+            "k_p_v": _chk_nonneg("k_p_v", kw.pop("k_p_v", cls.k_p_v)),
+            "k_p_delta": _chk_nonneg("k_p_delta",
+                                     kw.pop("k_p_delta", cls.k_p_delta)),
+            "g": kw.pop("g", cls.g),
+        }
+        kw.setdefault("hfov", cls.hfov)
+        kw.setdefault("v_max_stop", cls.v_max_stop)
+        return super().create(calib_mode=calib_mode, verbose=verbose,
+                              **fields, **kw)
+
+
+class PlanarPointBicycleParams(BicycleParams):
+    """Mass-less point bicycle (reference parameters.py:1175-1201)."""
+
+    poles: Any = (-2.0 + 0.0j,)
+    gains: Any = (2.0,)
+
+
+class PlanarBicycleParams(BicycleParams):
+    """Planar two-wheeler (reference parameters.py:1203-1211)."""
+
+    poles: Any = (-1.0141284591434665 + 1.226826644413086j,
+                  -1.0141284591434665 - 1.226826644413086j)
+
+
+class InvPendulumBicycleParams(BicycleParams):
+    """Inverted-pendulum bicycle (reference parameters.py:1414-1970).
+
+    Defaults equal reference parameters.py:1429-1471 including the combined
+    parameter tau_1_squared = (I_bike + m h^2) / (m g h).
+    """
+
+    v_max_riding: Any = (-1.0, 7.0)
+    a_max: Any = (-3.0, 1.0)
+    a_desired_default: Any = (-1.0, 0.5)
+    h: Any = 1.0
+    m: Any = 87.0
+    i_bike_longlong: Any = 3.28
+    i_steer_vertvert: Any = 0.07
+    c_steer: Any = 50.0
+    k_d0_r2: Any = -600.0
+    k_d1_r2: Any = 0.2
+    k_p_r1: Any = 0.25
+    k_i0_r1: Any = 0.2
+    v_max_walk: Any = 1.5
+    delta_max_walk: Any = 0.174
+    tau_1_squared: Any = (3.28 + 87.0 * 1.0**2) / (87.0 * 9.81 * 1.0)
+
+    @classmethod
+    def create(cls, calib_mode: bool = False, verbose: bool = True, **kw):
+        h = _chk_nonneg("h", kw.pop("h", cls.h))
+        m = _chk_nonneg("m", kw.pop("m", cls.m))
+        ibl = _chk_nonneg("i_bike_longlong",
+                          kw.pop("i_bike_longlong", cls.i_bike_longlong))
+        isv = _chk_nonneg("i_steer_vertvert",
+                          kw.pop("i_steer_vertvert", cls.i_steer_vertvert))
+        c_steer = _chk_nonneg("c_steer", kw.pop("c_steer", cls.c_steer))
+        k_d0_r2 = np.asarray(kw.pop("k_d0_r2", cls.k_d0_r2), dtype=float)
+        if np.any(k_d0_r2 >= 0):
+            raise ValueError("k_d0_r2 must be <0 to stabilize the "
+                             "lean/steer angle loop.")
+        k_d1_r2 = np.asarray(kw.pop("k_d1_r2", cls.k_d1_r2), dtype=float)
+        k_p_r1 = _chk_nonneg("k_p_r1", kw.pop("k_p_r1", cls.k_p_r1))
+        k_i0_r1 = _chk_nonneg("k_i0_r1", kw.pop("k_i0_r1", cls.k_i0_r1))
+        v_max_walk = _chk_nonneg("v_max_walk",
+                                 kw.pop("v_max_walk", cls.v_max_walk))
+        delta_max_walk = _chk_range(
+            "delta_max_walk", kw.pop("delta_max_walk", cls.delta_max_walk),
+            0.0, np.pi, lo_open=True)
+        g = kw.get("g", cls.g)
+        kw.setdefault("v_max_riding", cls.v_max_riding)
+        kw.setdefault("a_max", cls.a_max)
+        kw.setdefault("a_desired_default", cls.a_desired_default)
+        tau_1_squared = (ibl + m * h**2) / (m * np.asarray(g) * h)
+        return super().create(
+            calib_mode=calib_mode, verbose=verbose, h=h, m=m,
+            i_bike_longlong=ibl, i_steer_vertvert=isv, c_steer=c_steer,
+            k_d0_r2=k_d0_r2, k_d1_r2=k_d1_r2, k_p_r1=k_p_r1, k_i0_r1=k_i0_r1,
+            v_max_walk=v_max_walk, delta_max_walk=delta_max_walk,
+            tau_1_squared=tau_1_squared, **kw)
+
+    # ---- speed-scheduled model/controller parameters ----
+
+    def timevarying_combined_params(self, v):
+        """Speed-dependent combined lean-dynamics parameters (K, K*tau_2,
+        tau_3). Reference parameters.py:1832-1855."""
+        K_tau_2 = (v * self.l_2) / (self.g * self.l)
+        K = (v * v) / (self.g * self.l)
+        tau_3 = self.l / v
+        return K, K_tau_2, tau_3
+
+    # Fitted polynomial-in-1/v full-state feedback gain schedule
+    # (reference parameters.py:1857-1892).
+    _KX_POLY = np.array([
+        [3.48203226e02, -5.12057324e03, 1.58364873e04, -1.98073306e04],
+        [-4.51700000e01, 0.00000000e00, 0.00000000e00, 0.00000000e00],
+        [-9.16379250e02, 1.31769807e04, -6.57341643e04, 8.22163589e04],
+        [3.20214069e02, -4.69953797e03, 1.66378680e04, -2.43114309e04],
+        [2.87549256e-08, -2.27913445e03, 0.00000000e00, 0.00000000e00],
+    ])
+    _KU_POLY = np.array(
+        [-3.38638984e-09, -2.27913445e03, 0.00000000e00, 0.00000000e00])
+
+    def fullstate_feedback_gains(self, v):
+        """Speed-scheduled full-state feedback gains K_x [.., 5], K_u [..].
+
+        Polynomial in 1/v, reference parameters.py:1857-1892. Broadcasts over
+        leading axes of v.
+        """
+        v = jnp.asarray(v)
+        vdata = jnp.stack(
+            [jnp.ones_like(v), v**-1.0, v**-2.0, v**-3.0], axis=-1)
+        K_x = vdata @ jnp.asarray(self._KX_POLY, dtype=vdata.dtype).T
+        K_u = vdata @ jnp.asarray(self._KU_POLY, dtype=vdata.dtype)
+        return K_x, K_u
+
+    def min_stable_speed_inner(self):
+        """Minimum speed for inner-loop stability
+        (reference parameters.py:1955-1970)."""
+        x = self.k_d0_r2
+        y = self.c_steer * self.g * (self.l_1 + self.l_2)
+        z = y * self.k_d1_r2
+        return (-y - jnp.sqrt(y**2 - 4 * x * z)) / (2 * x)
+
+
+class RoadElementParams(struct.PyTreeNode):
+    """Road-edge repulsion parameters (reference parameters.py:367-418)."""
+
+    F_0: Any = 0.05
+    sigma: Any = 3.0
+
+    @classmethod
+    def create(cls, F_0: float = 0.05, sigma: float = 3.0, **kw):
+        return cls(F_0=_chk_nonneg("F_0", F_0),
+                   sigma=_chk_nonneg("sigma", sigma), **kw)
+
+
+def pair_lo(pair):
+    """Lower element of a (min, max) limit pair.
+
+    Pairs are stored as a length-2 trailing axis by `create`, but plain
+    tuples (from direct dataclass construction) are accepted too.
+    """
+    if isinstance(pair, (tuple, list)):
+        return pair[0]
+    return jnp.asarray(pair)[..., 0]
+
+
+def pair_hi(pair):
+    """Upper element of a (min, max) limit pair."""
+    if isinstance(pair, (tuple, list)):
+        return pair[1]
+    return jnp.asarray(pair)[..., 1]
+
+
+def as_population(params, n: int):
+    """Broadcast every numeric leaf of a params pytree to shape [n, ...].
+
+    Use this to create per-agent parameter arrays that can afterwards be
+    updated agent-by-agent (e.g. heterogeneous v_desired_default as in the
+    reference standalone demo, demo/demoCSFstandalone.py:101-113).
+    """
+    import jax
+
+    def bcast(leaf):
+        arr = jnp.asarray(leaf)
+        return jnp.broadcast_to(arr, (n,) + arr.shape)
+
+    return jax.tree_util.tree_map(bcast, params)

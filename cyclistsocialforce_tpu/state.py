@@ -1,0 +1,225 @@
+"""Structure-of-arrays agent state pytree.
+
+Replaces the reference's object-per-agent `Vehicle` state
+(reference: src/cyclistsocialforce/vehicle.py:64-204) with one device-resident
+pytree of ``[N, ...]`` arrays: positions/orientations, dynamics latents,
+controller states, the destination queue + navigation finite-state machine,
+and a short position ring buffer (used by the spline destination force and
+the riding/walking FSM instead of the reference's 30 s trajectory buffer).
+
+The whole simulation state is a single pytree: checkpoint/resume is a pytree
+save/load, sharding is a NamedSharding over the leading agent axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cyclistsocialforce_tpu.utils.angles import limit_angle
+
+# Unified state-vector layout (superset of all models; reference
+# vehicle.py:1960 BalancingRiderBicycle.STATE_NAMES):
+#   s[:, 0] x [m]        s[:, 1] y [m]       s[:, 2] psi (yaw) [rad]
+#   s[:, 3] v [m/s]      s[:, 4] delta (steer) [rad]
+#   s[:, 5] theta (roll) [rad]
+#   s[:, 6] delta-rate [rad/s]   s[:, 7] theta-rate [rad/s]
+STATE_DIM = 8
+
+X, Y, PSI, V, DELTA, THETA, DDELTA, DTHETA = range(8)
+
+
+class AgentState(struct.PyTreeNode):
+    # core state
+    s: Any                 # [N, 8] float
+    # dynamics-internal latent state (meaning depends on the model family)
+    dyn_x: Any             # [N, 7] float
+    dyn_v: Any             # [N] float, speed tracked by the dynamics engine
+    # PID controller states: column 0 = steer loop, column 1 = speed loop
+    pid_e: Any             # [N, 2] float, previous error
+    pid_i: Any             # [N, 2] float, integral accumulator
+    # destinations (reference vehicle.py:183-188)
+    dest: Any              # [N, 3] float (x, y, stop-flag)
+    destqueue: Any         # [N, Q, 3] float
+    destpointer: Any       # [N] int32
+    nq: Any                # [N] int32, number of valid queue entries
+    # navigation FSM (reference vehicle.py:354-457)
+    znav: Any              # [N, 3] bool: (cruising, stopping, arrived)
+    znavparams: Any        # [N, 4] float: (v0, d0, d1, i_set)
+    # stop-signal bookkeeping (reference vehicle.py:590-594)
+    i_stopsignal: Any      # [N] int32
+    d_stopsignal: Any      # [N] float
+    # riding/walking FSM of the inverted-pendulum model
+    # (reference vehicle.py:1932-1950)
+    zrid: Any              # [N, 2] bool: (riding, walking)
+    walk_ok_steps: Any     # [N] int32: consecutive steps with
+    #                        |delta| < delta_max_walk (incremental replacement
+    #                        of the reference's 1 s trajectory scan)
+    # step counter and position history ring buffer
+    i: Any                 # [N] int32
+    pos_hist: Any          # [N, H, 2] float, slot i % H holds position @ step i
+    # population mask for dynamic add/remove without reshaping
+    active: Any            # [N] bool
+    key: Any               # PRNG key (single, split per step)
+
+    @property
+    def n(self) -> int:
+        return self.s.shape[0]
+
+    @property
+    def hist_len(self) -> int:
+        return self.pos_hist.shape[1]
+
+    @property
+    def queue_size(self) -> int:
+        return self.destqueue.shape[1]
+
+
+def make_state(s0, queue_size: int = 16, hist_len: int = 128,
+               v_max_walk=None, dtype=jnp.float32,
+               seed: int = 0) -> AgentState:
+    """Create an AgentState population from initial states.
+
+    Parameters
+    ----------
+    s0 : array-like [N, k], k <= 8
+        Initial per-agent states (x, y, psi, v[, delta, theta, ddelta,
+        dtheta]); missing trailing entries are zero-filled (the reference
+        truncates/expects model-specific lengths, vehicle.py:149-155).
+    queue_size : int
+        Fixed destination-queue capacity Q.
+    hist_len : int
+        Position ring-buffer length H. Must be > 1/t_s + 1 for exact parity
+        of the spline destination force's last-destination branch
+        (reference vehicle.py:1486-1492).
+    v_max_walk : optional scalar/[N]
+        If given, initializes the riding/walking FSM from the initial speed
+        (reference vehicle.py:1731-1736); otherwise agents start "riding".
+    """
+    s0 = jnp.asarray(s0, dtype=dtype)
+    if s0.ndim == 1:
+        s0 = s0[None]
+    n, k = s0.shape
+    s = jnp.zeros((n, STATE_DIM), dtype=dtype)
+    s = s.at[:, :k].set(s0)
+    s = s.at[:, PSI].set(limit_angle(s[:, PSI]))
+
+    dest = jnp.concatenate(
+        [s[:, :2], jnp.zeros((n, 1), dtype=dtype)], axis=1)
+    destqueue = jnp.zeros((n, queue_size, 3), dtype=dtype)
+    destqueue = destqueue.at[:, 0, :].set(dest)
+
+    znav = jnp.zeros((n, 3), dtype=bool).at[:, 0].set(True)
+
+    if v_max_walk is not None:
+        walking = s[:, V] < jnp.asarray(v_max_walk, dtype=dtype)
+    else:
+        walking = jnp.zeros((n,), dtype=bool)
+    zrid = jnp.stack([~walking, walking], axis=1)
+
+    pos_hist = jnp.broadcast_to(s[:, None, :2], (n, hist_len, 2)).astype(dtype)
+
+    return AgentState(
+        s=s,
+        dyn_x=jnp.zeros((n, 7), dtype=dtype),
+        dyn_v=s[:, V],
+        pid_e=jnp.zeros((n, 2), dtype=dtype),
+        pid_i=jnp.zeros((n, 2), dtype=dtype),
+        dest=dest,
+        destqueue=destqueue,
+        destpointer=jnp.zeros((n,), dtype=jnp.int32),
+        nq=jnp.ones((n,), dtype=jnp.int32),
+        znav=znav,
+        znavparams=jnp.zeros((n, 4), dtype=dtype),
+        i_stopsignal=jnp.zeros((n,), dtype=jnp.int32),
+        d_stopsignal=jnp.zeros((n,), dtype=dtype),
+        zrid=zrid,
+        walk_ok_steps=jnp.zeros((n,), dtype=jnp.int32),
+        i=jnp.zeros((n,), dtype=jnp.int32),
+        pos_hist=pos_hist,
+        active=jnp.ones((n,), dtype=bool),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def set_destinations(state: AgentState, agent: int, x, y, stop=None,
+                     reset: bool = False) -> AgentState:
+    """Append (or reset to) a destination list for one agent.
+
+    Host-side scenario-setup helper mirroring Vehicle.setDestinations
+    (reference vehicle.py:606-647). `x`, `y`, `stop` are 1-D sequences.
+    """
+    x = jnp.atleast_1d(jnp.asarray(x, dtype=state.s.dtype))
+    y = jnp.atleast_1d(jnp.asarray(y, dtype=state.s.dtype))
+    if stop is None:
+        stop = jnp.zeros_like(x)
+    else:
+        stop = jnp.atleast_1d(jnp.asarray(stop, dtype=state.s.dtype))
+    new = jnp.stack([x, y, stop], axis=1)
+    m = new.shape[0]
+    q = state.destqueue
+
+    if reset:
+        if m > state.queue_size:
+            raise ValueError(f"Destination list ({m}) exceeds queue size "
+                             f"({state.queue_size}).")
+        qa = jnp.zeros_like(q[agent]).at[:m, :].set(new)
+        return state.replace(
+            destqueue=q.at[agent].set(qa),
+            destpointer=state.destpointer.at[agent].set(0),
+            nq=state.nq.at[agent].set(m),
+            dest=state.dest.at[agent].set(new[0]),
+        )
+
+    start = int(state.nq[agent])
+    if start + m > state.queue_size:
+        raise ValueError(f"Destination queue overflow: {start}+{m} > "
+                         f"{state.queue_size}.")
+    qa = q[agent].at[start:start + m, :].set(new)
+    return state.replace(
+        destqueue=q.at[agent].set(qa),
+        nq=state.nq.at[agent].set(start + m),
+    )
+
+
+def stop(state: AgentState, agent: int, stoptype: int = 0,
+         stopdest=None, a_brake=None) -> AgentState:
+    """Make one agent come to a halt (reference vehicle.py:459-503).
+
+    stoptype 0: flag the current destination as a stop destination.
+    stoptype 1: emergency stop at the projected braking point.
+    stoptype 2: stop at the given location ``stopdest``.
+    """
+    if stoptype == 0:
+        return state.replace(dest=state.dest.at[agent, 2].set(1.0))
+    if stoptype in (1, 2):
+        if stoptype == 1:
+            assert a_brake is not None, "Provide a_brake (params.a_max[0])."
+            v = state.s[agent, V]
+            tstop = jnp.abs(v / a_brake)
+            dstop = 1.1 * (v * tstop + 0.5 * a_brake * tstop**2)
+            # Reference quirk (vehicle.py:491-492): uses sin for x, cos for y.
+            xstop = state.s[agent, X] + dstop * jnp.sin(state.s[agent, PSI])
+            ystop = state.s[agent, Y] + dstop * jnp.cos(state.s[agent, PSI])
+        else:
+            xstop, ystop = stopdest[0], stopdest[1]
+        newdest = jnp.asarray([xstop, ystop, 1.0], dtype=state.s.dtype)
+        ptr = jnp.maximum(state.destpointer[agent] - 1, 0)
+        return state.replace(
+            dest=state.dest.at[agent].set(newdest),
+            destpointer=state.destpointer.at[agent].set(ptr),
+        )
+    raise ValueError("Stop type has to be one of [0,1,2].")
+
+
+def go(state: AgentState, agent: int, gotype: int = 0) -> AgentState:
+    """Continue after a stop (reference vehicle.py:505-535)."""
+    if gotype == 0:
+        return state.replace(dest=state.dest.at[agent, 2].set(0.0))
+    if gotype == 1:
+        newdest = state.destqueue[agent, state.destpointer[agent]]
+        return state.replace(dest=state.dest.at[agent].set(newdest))
+    raise ValueError("Go type has to be one of [0,1].")
