@@ -1,0 +1,149 @@
+"""Generate golden trajectories by running the ACTUAL reference package
+(/root/reference, read-only) through the API shims in tests/oracle/shims.
+
+The golden .npz files are the parity oracle for the TPU framework: the
+parity tests (tests/test_parity_*.py) require trajectories within 1e-3 m.
+
+Usage: python tests/oracle/generate_golden.py [scenario ...]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "..", "golden")
+REF_SRC = "/root/reference/src"
+
+REPO = os.path.join(HERE, "..", "..")
+sys.path.insert(0, REPO)                       # cyclistsocialforce_tpu
+sys.path.insert(0, os.path.join(HERE, "shims"))
+sys.path.insert(0, REF_SRC)
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+
+class DummyDrawing:
+    """No-op drawing so intersection.step()'s first-step add_drawing path
+    (reference intersection.py:880-885) is bypassed headlessly."""
+
+    def update(self, *a, **k):
+        pass
+
+    def set_animated(self, *a, **k):
+        pass
+
+
+def run_intersection(vehicles, n_steps):
+    from cyclistsocialforce.intersection import SocialForceIntersection
+
+    for v in vehicles:
+        v.drawing = DummyDrawing()
+    ins = SocialForceIntersection(list(vehicles),
+                                  activate_sumo_cosimulation=False,
+                                  animate=False)
+    for _ in range(n_steps):
+        ins.step()
+    return ins
+
+
+def encroachment_vehicles(bike_type, n_states=8, save_forces=True):
+    """The 3-cyclist encroachment scenario of demo/demoCSFstandalone.py
+    (reference demo/demoCSFstandalone.py:94-136)."""
+    s0 = [
+        (-23 + 17, 0, 0, 5, 0, 0, 0, 0),
+        (0 + 15, -20, np.pi / 2, 5, 0, 0, 0, 0),
+        (-2 + 15, -20, np.pi / 2, 5, 0, 0, 0, 0),
+    ]
+    vels = [4.5, 5.0, 5.0]
+    dests = [
+        ((35, 64, 65), (0, 0, 0)),
+        ((15, 15, 15), (20, 49, 50)),
+        ((13, 13, 13), (20, 49, 50)),
+    ]
+    vehicles = []
+    for s, vd, (dx, dy) in zip(s0, vels, dests):
+        b = bike_type(s[:n_states], id=f"bike{len(vehicles)}",
+                      saveForces=save_forces)
+        b.params.v_desired_default = vd
+        b.setDestinations(dx, dy)
+        vehicles.append(b)
+    return vehicles
+
+
+def save(fname, vehicles, n_steps, extra=None):
+    os.makedirs(GOLDEN, exist_ok=True)
+    data = {}
+    for k, v in enumerate(vehicles):
+        data[f"traj_{k}"] = v.traj[:, : n_steps + 1]
+        if getattr(v, "saveForces", False):
+            data[f"forces_{k}"] = v.trajF[:, : n_steps + 1]
+    if extra:
+        data.update(extra)
+    path = os.path.join(GOLDEN, fname)
+    np.savez_compressed(path, **data)
+    print(f"wrote {path}: " + ", ".join(
+        f"{k}{v.shape}" for k, v in data.items()))
+
+
+def gen_encroachment_bicycle2d(n_steps=700):
+    from cyclistsocialforce.vehicle import Bicycle
+
+    vehicles = encroachment_vehicles(Bicycle, n_states=5)
+    run_intersection(vehicles, n_steps)
+    save("encroachment_bicycle2d.npz", vehicles, n_steps)
+
+
+def gen_encroachment_planarpoint(n_steps=700):
+    from cyclistsocialforce.vehicle import PlanarPointBicycle
+
+    vehicles = encroachment_vehicles(PlanarPointBicycle, n_states=4)
+    run_intersection(vehicles, n_steps)
+    save("encroachment_planarpoint.npz", vehicles, n_steps)
+
+
+def gen_encroachment_invpendulum(n_steps=700):
+    from cyclistsocialforce.vehicle import InvPendulumBicycle
+
+    vehicles = encroachment_vehicles(InvPendulumBicycle, n_states=6)
+    run_intersection(vehicles, n_steps)
+    save("encroachment_invpendulum.npz", vehicles, n_steps)
+
+
+def gen_encroachment_balancingrider(n_steps=700):
+    from cyclistsocialforce.vehicle import BalancingRiderBicycle
+
+    vehicles = encroachment_vehicles(BalancingRiderBicycle, n_states=8)
+    run_intersection(vehicles, n_steps)
+    save("encroachment_balancingrider.npz", vehicles, n_steps)
+
+
+def gen_parcours_twod(n_steps=3000):
+    """Single TwoDBicycle following a destination queue (spline destination
+    force), after scenarios/parcours-scenario.py."""
+    from cyclistsocialforce.vehicle import TwoDBicycle
+
+    b = TwoDBicycle((0, 0, 0, 5, 0), id="t", saveForces=True)
+    b.setDestinations((10, 20, 30, 40, 50, 50, 50),
+                      (0, 4, -4, 0, 4, 30, 31))
+    run_intersection([b], n_steps)
+    save("parcours_twod.npz", [b], n_steps)
+
+
+SCENARIOS = {
+    "encroachment_bicycle2d": gen_encroachment_bicycle2d,
+    "encroachment_planarpoint": gen_encroachment_planarpoint,
+    "encroachment_invpendulum": gen_encroachment_invpendulum,
+    "encroachment_balancingrider": gen_encroachment_balancingrider,
+    "parcours_twod": gen_parcours_twod,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(SCENARIOS)
+    for name in names:
+        print(f"--- {name}")
+        SCENARIOS[name]()
