@@ -4,7 +4,9 @@ reference)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the dev environment exports JAX_PLATFORMS=axon (a remote TPU
+# tunnel), which is wrong for the hermetic float64 parity tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
