@@ -101,7 +101,15 @@ def dest_force_straight(params, state: AgentState):
 
 
 # --------------------------------------------------------------------------
-# dense pairwise repulsive-force assembly
+# pairwise repulsive-force tiles
+#
+# Every repulsive field is expressed as a TILE function
+#   rep_tile(params, src, recv) -> (Fx, Fy) shaped [S, R]
+# with src = (x, y, psi, v) of the emitting agents ([S] each, carrying the
+# force-field parameters) and recv = (x, y, psi) of the receiving agents
+# ([R] each). The same tile serves the dense [N, N] case (small N), the
+# receiver-chunked case (large N, bounded memory), and the shard_map case
+# (sources all-gathered across devices, receivers local).
 # --------------------------------------------------------------------------
 
 
@@ -111,30 +119,42 @@ def _bsrc(p, n):
     return jnp.broadcast_to(jnp.asarray(p), (n,))[:, None]
 
 
-def rep_pairs_twod(params, state: AgentState):
-    """[N, N] pairwise forces of the 2D-model field; [i, j] = force exerted
-    by source i at receiver j's position."""
-    n = state.n
-    x, y, psi = state.s[:, X], state.s[:, Y], state.s[:, PSI]
-    dx = x[None, :] - x[:, None]
-    dy = y[None, :] - y[:, None]
-    return F.rep_force_twod(
-        dx, dy, psi[:, None], psi[None, :],
+def rep_tile_twod(params, src, recv):
+    """Tile of the BMD2023 2D-model repulsive field; [i, j] = force exerted
+    by source i at receiver j's position. Heading trig is hoisted to the
+    [S]/[R] axes so the [S, R] inner loop is trig-free."""
+    xs, ys, psis, _ = src
+    xr, yr, psir = recv
+    n = xs.shape[0]
+    dx = xr[None, :] - xs[:, None]
+    dy = yr[None, :] - ys[:, None]
+    return F.rep_force_twod_pair(
+        dx, dy,
+        jnp.cos(psis)[:, None], jnp.sin(psis)[:, None],
+        jnp.cos(psir)[None, :], jnp.sin(psir)[None, :],
         _bsrc(params.f_0, n), _bsrc(params.e_0, n), _bsrc(params.e_1, n),
         _bsrc(params.sigma_0, n), _bsrc(params.sigma_1, n),
         _bsrc(params.sigma_2, n), _bsrc(params.sigma_3, n))
 
 
-def rep_pairs_legacy(params, state: AgentState):
-    """[N, N] pairwise forces of the legacy v0.1 elliptic field."""
-    n = state.n
-    x, y, psi = state.s[:, X], state.s[:, Y], state.s[:, PSI]
-    dx = x[None, :] - x[:, None]
-    dy = y[None, :] - y[:, None]
-    return F.rep_force_legacy(
-        dx, dy, psi[:, None], _bsrc(state.s[:, V], n),
-        _bsrc(pair_hi(params.v_max_riding), n),
-        _bsrc(params.p_0, n), _bsrc(params.p_decay, n))
+def rep_tile_legacy(params, src, recv):
+    """Tile of the legacy v0.1 elliptic field; the speed-dependent
+    excentricity terms are hoisted to the source axis."""
+    xs, ys, psis, vs = src
+    xr, yr, _ = recv
+    n = xs.shape[0]
+    dx = xr[None, :] - xs[:, None]
+    dy = yr[None, :] - ys[:, None]
+    e = F.legacy_excentricity(
+        jnp.broadcast_to(vs, (n,)),
+        jnp.broadcast_to(jnp.asarray(pair_hi(params.v_max_riding)), (n,)))
+    inv_se = 1.0 / jnp.sqrt(1 - e**2)
+    p_decay = jnp.broadcast_to(jnp.asarray(params.p_decay), (n,))
+    p_0 = jnp.broadcast_to(jnp.asarray(params.p_0), (n,))
+    return F.rep_force_legacy_pair(
+        dx, dy, jnp.cos(psis)[:, None], jnp.sin(psis)[:, None],
+        e[:, None], inv_se[:, None], (1.0 / p_decay)[:, None],
+        (p_0 / p_decay)[:, None])
 
 
 DEST_FORCES: dict[str, Callable] = {
@@ -143,8 +163,8 @@ DEST_FORCES: dict[str, Callable] = {
 }
 
 REP_FORCES: dict[str, Callable] = {
-    "twod": rep_pairs_twod,
-    "legacy": rep_pairs_legacy,
+    "twod": rep_tile_twod,
+    "legacy": rep_tile_legacy,
 }
 
 
@@ -166,12 +186,17 @@ class Engine(struct.PyTreeNode):
     dest_force: Callable = struct.field(pytree_node=False,
                                         default=dest_force_straight)
     rep_force: Callable | None = struct.field(pytree_node=False,
-                                              default=rep_pairs_twod)
+                                              default=rep_tile_twod)
     priority_p2r: bool = struct.field(pytree_node=False, default=False)
+    # Receiver-axis chunk size for the O(N^2) force assembly. None = dense
+    # [N, N] (fastest for small N); an int C bounds peak memory to O(N*C)
+    # by lax.map-ing over N/C receiver tiles (required for N ~ 100k).
+    rep_chunk: int | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, params, model, road=None, dest_force=None,
-               rep_force=None, priority_rule: str = "unregulated"):
+               rep_force=None, priority_rule: str = "unregulated",
+               rep_chunk: int | None = None):
         """Build an engine from a model module (see models/ registry).
 
         `model` provides `step` and default `DEST_FORCE` / `REP_FORCE` names
@@ -186,9 +211,49 @@ class Engine(struct.PyTreeNode):
             rep = REP_FORCES[rep]
         return cls(params=params, road=road, model_step=model.step,
                    dest_force=dest, rep_force=rep,
-                   priority_p2r=(priority_rule == "p2r"))
+                   priority_p2r=(priority_rule == "p2r"),
+                   rep_chunk=rep_chunk)
 
     # ---- one simulation step ----
+
+    def _src_bundle(self, state: AgentState):
+        """Source-side fields of the pairwise force stage."""
+        return (state.s[:, X], state.s[:, Y], state.s[:, PSI], state.s[:, V])
+
+    def repulsive_sum(self, state: AgentState, src=None, idx_src=None,
+                      active_src=None, hfov_src=None, recv_offset=0):
+        """Summed repulsive force on every agent in `state` (the receivers).
+
+        By default sources == receivers (single-device population). The
+        shard_map path passes all-gathered `src`/`idx_src`/`active_src`/
+        `hfov_src` covering the global population while `state` is the
+        local shard whose global indices start at `recv_offset`.
+        """
+        n = state.n
+        if src is None:
+            src = self._src_bundle(state)
+            idx_src = jnp.arange(n)
+            active_src = state.active
+            hfov_src = jnp.broadcast_to(jnp.asarray(self.params.hfov), (n,))
+        xs, ys, _, _ = src
+
+        def recv_tile(ri):
+            recv = (state.s[ri, X], state.s[ri, Y], state.s[ri, PSI])
+            fpx, fpy = self.rep_force(self.params, src, recv)
+            untracked = F.untracked_foes_tile(
+                xs, ys, idx_src, active_src, hfov_src,
+                recv[0], recv[1], recv[2], ri + recv_offset,
+                state.active[ri], priority_p2r=self.priority_p2r)
+            return F.sum_sources(fpx, fpy, ~untracked)
+
+        idx_recv = jnp.arange(n)
+        if self.rep_chunk is None or self.rep_chunk >= n:
+            return recv_tile(idx_recv)
+        c = self.rep_chunk
+        if n % c != 0:
+            raise ValueError(f"rep_chunk={c} must divide N={n}.")
+        frx, fry = jax.lax.map(recv_tile, idx_recv.reshape(n // c, c))
+        return frx.reshape(n), fry.reshape(n)
 
     def calc_forces(self, state: AgentState):
         """Total social force per agent; returns (fx, fy, state) where
@@ -197,12 +262,8 @@ class Engine(struct.PyTreeNode):
         fdx, fdy, state = self.dest_force(self.params, state)
 
         if self.rep_force is not None and state.n > 1:
-            tracked = ~F.untracked_foes(
-                state.s[:, X], state.s[:, Y], state.s[:, PSI],
-                self.params.hfov, active=state.active,
-                priority_p2r=self.priority_p2r)
-            fpx, fpy = self.rep_force(self.params, state)
-            fx, fy = F.sum_repulsive(fpx, fpy, tracked, fdx, fdy)
+            frx, fry = self.repulsive_sum(state)
+            fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
         else:
             fx, fy = fdx, fdy
 
@@ -214,21 +275,24 @@ class Engine(struct.PyTreeNode):
             fy = fy + ry
         return fx, fy, state
 
+    def finish_step(self, before: AgentState, new: AgentState):
+        """Post-dynamics bookkeeping: freeze inactive agents, advance the
+        step counter, record the position ring buffer
+        (reference vehicle.py:319-321, 1279-1282: traj[:, i] <- s)."""
+        merged = _freeze_inactive(before.active, before, new)
+        i = merged.i + jnp.where(before.active, 1, 0)
+        slot = i % merged.hist_len
+        pos_hist = merged.pos_hist.at[
+            jnp.arange(merged.n), slot, :].set(merged.s[:, :2])
+        return merged.replace(i=i, pos_hist=pos_hist)
+
     def step_with_forces(self, state: AgentState):
         """One full step; also returns the applied forces (for saveForces
         histories, reference vehicle.py:162-164)."""
         before = state
         fx, fy, state = self.calc_forces(state)
         new = self.model_step(self.params, state, fx, fy)
-        # inactive agents hold their complete pre-step state
-        merged = _freeze_inactive(before.active, before, new)
-        # step counter + per-agent position history ring buffer
-        # (reference vehicle.py:319-321, 1279-1282: traj[:, i] <- s)
-        i = merged.i + jnp.where(before.active, 1, 0)
-        slot = i % merged.hist_len
-        pos_hist = merged.pos_hist.at[
-            jnp.arange(merged.n), slot, :].set(merged.s[:, :2])
-        return merged.replace(i=i, pos_hist=pos_hist), fx, fy
+        return self.finish_step(before, new), fx, fy
 
     def step(self, state: AgentState) -> AgentState:
         return self.step_with_forces(state)[0]

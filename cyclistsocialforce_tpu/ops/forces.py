@@ -26,48 +26,50 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from cyclistsocialforce_tpu.utils.angles import (
-    angle_difference,
-    cart2polar,
-    limit_angle,
-    limit_magnitude,
-)
+from cyclistsocialforce_tpu.utils.angles import limit_magnitude
 
 # --------------------------------------------------------------------------
 # pairwise repulsive fields
 # --------------------------------------------------------------------------
 
 
-def rep_force_twod(dx, dy, psi_src, psi_recv, f_0, e_0, e_1,
-                   sigma_0, sigma_1, sigma_2, sigma_3):
-    """Anisotropic elliptic repulsive force of the BMD2023 2D model.
+def rep_force_twod_pair(dx, dy, cos_src, sin_src, cos_recv, sin_recv,
+                        f_0, e_0, e_1, sigma_0, sigma_1, sigma_2, sigma_3):
+    """Anisotropic elliptic repulsive force of the BMD2023 2D model
+    (hot-loop form).
 
-    Force exerted by a source agent (heading ``psi_src``) on a receiver at
-    relative position (dx, dy) = receiver - source with heading ``psi_recv``.
-    Exact port of TwoDBicycle.calcRepulsiveForce (reference
-    vehicle.py:1560-1648): an elliptic potential whose decay and
-    excentricity are modulated by the relative heading, with the force
-    renormalized to the potential magnitude.
+    Force exerted by a source agent on a receiver at relative position
+    (dx, dy) = receiver - source. Math identical to
+    TwoDBicycle.calcRepulsiveForce (reference vehicle.py:1560-1648) -- an
+    elliptic potential whose decay and excentricity are modulated by the
+    relative heading, renormalized to the potential magnitude -- but
+    restructured for the TPU VPU: headings enter as precomputed
+    (cos, sin) pairs and every per-pair angle function is replaced by a
+    rotation identity, so the O(N^2) inner loop contains no trig/atan2,
+    only sqrt/exp.
 
     All arguments broadcast elementwise; parameters are those of the SOURCE.
-    Returns (Fx, Fy). The rho == 0 self-pair produces NaN (as in the
-    reference) -- callers must mask self-pairs.
+    Returns (Fx, Fy). Zero-distance pairs return 0 (the reference produces
+    NaN there; callers mask self-pairs either way).
     """
-    psi_rel = psi_src - psi_recv
-    sin2 = jnp.sin(psi_rel) ** 2
+    # sin^2 of the relative heading via the subtraction identity
+    sin_rel = sin_src * cos_recv - cos_src * sin_recv
+    sin2 = sin_rel * sin_rel
 
     vdecay0 = sigma_0 + sigma_1 * sin2
     vdecay1 = sigma_2 + sigma_3 * sin2
     e = e_0 - e_1 * sin2
 
-    rho, phi1 = cart2polar(dx, dy)
-    phi = limit_angle(phi1 - psi_src)
-
-    cosphi = jnp.cos(phi)
-    sinphi = jnp.sin(phi)
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(rho > 0, rho, 1.0)
+    # phi = azimuth of the receiver in the source's ego frame:
+    # cos(phi) = cos(phi1 - psi_src), sin(phi) = sin(phi1 - psi_src)
+    cosphi = jnp.clip((dx * cos_src + dy * sin_src) / safe, -1.0, 1.0)
+    sinphi = (dy * cos_src - dx * sin_src) / safe
 
     sigma = vdecay0 - vdecay1 * jnp.sqrt((1 - cosphi) / 2)
-    dsigm = -vdecay1 * jnp.sqrt((1 + cosphi) / 2) * jnp.sign(phi) / 2
+    # d(sigma)/d(phi); sign(phi) == sign(sin(phi)) on (-pi, pi)
+    dsigm = -vdecay1 * jnp.sqrt((1 + cosphi) / 2) * jnp.sign(sinphi) / 2
 
     ec2 = 1 - (e * cosphi) ** 2
     sq = jnp.sqrt(ec2)
@@ -78,43 +80,76 @@ def rep_force_twod(dx, dy, psi_src, psi_recv, f_0, e_0, e_1,
     fphi = (-P * (ec2 * dsigm - e**2 * sinphi * cosphi * sigma)
             / (sigma**2 * sq))
 
-    fx = frho * jnp.cos(phi1) - fphi * jnp.sin(phi1)
-    fy = frho * jnp.sin(phi1) + fphi * jnp.cos(phi1)
+    # rotate (frho, fphi) back to world axes: the magnitude is rotation-
+    # invariant, so renormalize with |(frho, fphi)| directly
+    fmag = jnp.sqrt(frho * frho + fphi * fphi)
+    fmag = jnp.where(fmag > 0, fmag, 1.0)
+    scale = P / (fmag * safe)
+    fx = scale * (frho * dx - fphi * dy)
+    fy = scale * (frho * dy + fphi * dx)
 
-    fmag = jnp.sqrt(fx**2 + fy**2)
-    fx = P * fx / fmag
-    fy = P * fy / fmag
-
-    zero = f_0 == 0.0
+    zero = (f_0 == 0.0) | (rho == 0.0)
     return jnp.where(zero, 0.0, fx), jnp.where(zero, 0.0, fy)
+
+
+def rep_force_twod(dx, dy, psi_src, psi_recv, f_0, e_0, e_1,
+                   sigma_0, sigma_1, sigma_2, sigma_3):
+    """Reference-signature wrapper of `rep_force_twod_pair` taking headings
+    in radians (reference vehicle.py:1560-1648)."""
+    return rep_force_twod_pair(
+        dx, dy, jnp.cos(psi_src), jnp.sin(psi_src),
+        jnp.cos(psi_recv), jnp.sin(psi_recv),
+        f_0, e_0, e_1, sigma_0, sigma_1, sigma_2, sigma_3)
+
+
+def rep_force_legacy_pair(dx, dy, cos_src, sin_src, e, inv_se,
+                          inv_pdecay, amp):
+    """Legacy v0.1 elliptic repulsive force (hot-loop form).
+
+    Math identical to Bicycle.calcPotential/calcRepulsiveForce (reference
+    vehicle.py:1054-1147): potential
+    P = (p_0/p_decay) exp(-rho (1 - e cos(phi0)) / (sqrt(1-e^2) p_decay)),
+    force (frho0, fphi0) = (P (1-e cos phi0), P e sin phi0)/sqrt(1-e^2)
+    rotated to world axes. The speed-dependent excentricity terms are
+    hoisted to per-source precomputations (`legacy_excentricity`;
+    inv_se = 1/sqrt(1-e^2), amp = p_0/p_decay), and all per-pair trig is
+    replaced by rotation identities -- only sqrt/exp remain in the O(N^2)
+    loop.
+    """
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(rho > 0, rho, 1.0)
+    cosphi0 = (dx * cos_src + dy * sin_src) / safe
+    sinphi0 = (dy * cos_src - dx * sin_src) / safe
+
+    u = (1 - e * cosphi0) * inv_se
+    P = amp * jnp.exp(-rho * u * inv_pdecay)
+
+    frho0 = P * u
+    fphi0 = P * e * sinphi0 * inv_se
+    fx = (frho0 * dx - fphi0 * dy) / safe
+    fy = (frho0 * dy + fphi0 * dx) / safe
+    zero = rho == 0.0
+    return jnp.where(zero, 0.0, fx), jnp.where(zero, 0.0, fy)
+
+
+def legacy_excentricity(v_src, v_max_riding_fwd):
+    """Speed-dependent excentricity of the legacy field,
+    e = min((v / v_max)^0.1, 0.7) (reference vehicle.py:1093-1095).
+    Negative speeds (possible while braking) are clamped to 0; the
+    reference produces NaN there."""
+    v = jnp.maximum(v_src, 0.0)
+    return jnp.minimum(jnp.power(v / v_max_riding_fwd, 0.1), 0.7)
 
 
 def rep_force_legacy(dx, dy, psi_src, v_src, v_max_riding_fwd,
                      p_0, p_decay):
-    """Legacy v0.1 elliptic repulsive force with speed-dependent excentricity.
-
-    Exact port of Bicycle.calcPotential/calcRepulsiveForce (reference
-    vehicle.py:1054-1147): e = min((v / v_max)^0.1, 0.7), potential
-    P = p_0 exp(-rho (1 - e cos(phi0)) / (sqrt(1-e^2) p_decay)).
-
-    Returns (Fx, Fy); parameters are those of the SOURCE. Self-pairs (rho=0)
-    produce NaN and must be masked.
-    """
-    e = jnp.minimum(jnp.power(v_src / v_max_riding_fwd, 0.1), 0.7)
-
-    rho, phi = cart2polar(dx, dy)
-    phi0 = phi - psi_src
-
-    se = jnp.sqrt(1 - e**2)
-    b = (1 / (se * p_decay)) * rho * (1 - e * jnp.cos(phi0))
-    P = p_0 * jnp.exp(-b) / p_decay
-
-    frho0 = P * (1 - e * jnp.cos(phi0)) / se
-    fphi0 = P * (e * jnp.sin(phi0)) / se
-
-    fx = frho0 * jnp.cos(phi) - fphi0 * jnp.sin(phi)
-    fy = frho0 * jnp.sin(phi) + fphi0 * jnp.cos(phi)
-    return fx, fy
+    """Reference-signature wrapper of `rep_force_legacy_pair`
+    (reference vehicle.py:1054-1147). Parameters are those of the SOURCE."""
+    e = legacy_excentricity(v_src, v_max_riding_fwd)
+    inv_se = 1.0 / jnp.sqrt(1 - e**2)
+    return rep_force_legacy_pair(
+        dx, dy, jnp.cos(psi_src), jnp.sin(psi_src), e,
+        inv_se, 1.0 / p_decay, p_0 / p_decay)
 
 
 # --------------------------------------------------------------------------
@@ -122,32 +157,75 @@ def rep_force_legacy(dx, dy, psi_src, v_src, v_max_riding_fwd,
 # --------------------------------------------------------------------------
 
 
-def untracked_foes(x, y, psi, hfov, active=None, priority_p2r: bool = False):
-    """Pairwise "receiver j does not react to source i" mask.
+def untracked_foes_tile(x_src, y_src, idx_src, active_src, hfov_src,
+                        x_recv, y_recv, psi_recv, idx_recv, active_recv,
+                        priority_p2r: bool = False):
+    """Tile of the "receiver j does not react to source i" mask.
 
-    Exact port of SocialForceIntersection.get_untracked_foes (reference
+    Tiled form of SocialForceIntersection.get_untracked_foes (reference
     intersection.py:690-745) including its quirk that the FOV threshold is
     indexed by the SOURCE i: untracked[i, j] is True when the azimuth of
-    source i relative to receiver j's heading exceeds hfov_i / 2, when
-    i == j, or (under priority-to-the-right) when that azimuth is positive.
+    source i relative to receiver j's heading exceeds hfov_i / 2, when the
+    global agent indices coincide (self-pair), or (under priority-to-the-
+    right) when that azimuth is positive.
 
-    Returns [N, N] bool, i = source, j = receiver.
+    Source args are [S], receiver args [R]; returns [S, R] bool. The same
+    function serves the dense [N, N] case, receiver-chunked evaluation, and
+    the shard_map path (sources = all-gathered, receivers = local shard).
+
+    Hot-loop form: with rel = wrap(azimuth - psi_recv) in (-pi, pi],
+    |rel| > hfov/2  <=>  cos(rel) < cos(hfov/2), and cos/sin(rel) follow
+    from rotation identities -- no per-pair trig. Coincident distinct
+    agents (rho == 0, azimuth undefined) are treated as untracked.
     """
-    n = x.shape[0]
-    dx = x[:, None] - x[None, :]   # [i, j] = x_i - x_j
-    dy = y[:, None] - y[None, :]
-    # azimuth of source i as seen from receiver j
-    foe_azimuth_abs = limit_angle(jnp.arctan2(dy, dx))
-    rel = angle_difference(psi[None, :], foe_azimuth_abs)
+    dx = x_src[:, None] - x_recv[None, :]
+    dy = y_src[:, None] - y_recv[None, :]
+    cr = jnp.cos(psi_recv)[None, :]
+    sr = jnp.sin(psi_recv)[None, :]
+    # rho * cos/sin of the azimuth of source i relative to receiver j's
+    # heading
+    rho_cos_rel = dx * cr + dy * sr
+    rho_sin_rel = dy * cr - dx * sr
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(rho > 0, rho, 1.0)
 
-    hfov_i = jnp.broadcast_to(jnp.asarray(hfov), (n,))
-    untracked = jnp.abs(rel) > hfov_i[:, None] / 2
-    untracked = untracked | jnp.eye(n, dtype=bool)
+    cos_half_hfov = jnp.cos(hfov_src / 2)[:, None]
+    untracked = rho_cos_rel / safe < cos_half_hfov
+    untracked = untracked | (idx_src[:, None] == idx_recv[None, :])
+    untracked = untracked | (rho == 0.0)
     if priority_p2r:
-        untracked = untracked | (rel > 0)
-    if active is not None:
-        untracked = untracked | ~active[:, None] | ~active[None, :]
+        untracked = untracked | (rho_sin_rel > 0)
+    untracked = untracked | ~active_src[:, None] | ~active_recv[None, :]
     return untracked
+
+
+def untracked_foes(x, y, psi, hfov, active=None, priority_p2r: bool = False):
+    """Dense [N, N] foe mask (i = source, j = receiver); see
+    `untracked_foes_tile`."""
+    n = x.shape[0]
+    idx = jnp.arange(n)
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
+    hfov = jnp.broadcast_to(jnp.asarray(hfov), (n,))
+    return untracked_foes_tile(x, y, idx, active, hfov,
+                               x, y, psi, idx, active,
+                               priority_p2r=priority_p2r)
+
+
+def sum_sources(fx_pair, fy_pair, tracked):
+    """Mask untracked pairs and sum the repulsive force over the source
+    axis (reference intersection.py:822-838)."""
+    frep_x = jnp.sum(jnp.where(tracked, fx_pair, 0.0), axis=0)
+    frep_y = jnp.sum(jnp.where(tracked, fy_pair, 0.0), axis=0)
+    return frep_x, frep_y
+
+
+def clamp_add_dest(frep_x, frep_y, fdest_x, fdest_y):
+    """Clamp the summed repulsive force to the destination-force magnitude
+    and add the destination force (reference intersection.py:841-848)."""
+    fdest_mag = jnp.sqrt(fdest_x**2 + fdest_y**2)
+    frep_x, frep_y = limit_magnitude(frep_x, frep_y, fdest_mag)
+    return frep_x + fdest_x, frep_y + fdest_y
 
 
 def sum_repulsive(fx_pair, fy_pair, tracked, fdest_x, fdest_y):
@@ -157,13 +235,8 @@ def sum_repulsive(fx_pair, fy_pair, tracked, fdest_x, fdest_y):
     source axis, limit the summed magnitude to the destination-force
     magnitude, and add the destination force.
     """
-    fx_pair = jnp.where(tracked, fx_pair, 0.0)
-    fy_pair = jnp.where(tracked, fy_pair, 0.0)
-    frep_x = jnp.sum(fx_pair, axis=0)
-    frep_y = jnp.sum(fy_pair, axis=0)
-    fdest_mag = jnp.sqrt(fdest_x**2 + fdest_y**2)
-    frep_x, frep_y = limit_magnitude(frep_x, frep_y, fdest_mag)
-    return frep_x + fdest_x, frep_y + fdest_y
+    frep_x, frep_y = sum_sources(fx_pair, fy_pair, tracked)
+    return clamp_add_dest(frep_x, frep_y, fdest_x, fdest_y)
 
 
 # --------------------------------------------------------------------------

@@ -5,7 +5,8 @@ reference)."""
 import os
 
 # Force CPU: the dev environment exports JAX_PLATFORMS=axon (a remote TPU
-# tunnel), which is wrong for the hermetic float64 parity tests.
+# tunnel) and its sitecustomize imports jax at interpreter startup, so
+# setting the env var here is too late -- update the live config as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -14,4 +15,6 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
