@@ -24,10 +24,12 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from cyclistsocialforce_tpu.ops import forces as F
 from cyclistsocialforce_tpu.ops import navigation as nav
+from cyclistsocialforce_tpu.ops import spline as spl
 from cyclistsocialforce_tpu.params import pair_hi
 from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState
 
@@ -101,6 +103,147 @@ def dest_force_straight(params, state: AgentState):
 
 
 # --------------------------------------------------------------------------
+# spline (path-planning) destination force
+# --------------------------------------------------------------------------
+
+# Local constants of the reference implementation (vehicle.py:1443-1448):
+SPL_N_FWD = 4          # max forward destinations in the spline
+SPL_N_PNTS = 20        # interpolated spline points
+SPL_IPRED = 3          # look-ahead for normal driving
+SPL_IPRED_LAST = 5     # look-ahead for the final destination
+SPL_THETA_COMF = 10.0 * (2.0 * jnp.pi / 360.0)   # comfort lean ~10 deg
+SPL_V_MIN_STABLE = 2.5                            # vehicle.py:1534
+
+
+def dest_force_spline(params, state: AgentState):
+    """Spline path-planning destination force of the BMD2023 2D model.
+
+    Port of TwoDBicycle.calcDestinationForce (reference
+    vehicle.py:1416-1558): fit a parametric cubic through recent trajectory
+    positions + upcoming queue destinations, point the force along the
+    spline look-ahead, and limit the desired speed by the spline curvature
+    radius via a ~10 deg comfort lean angle, v = sqrt(theta_comf g R).
+
+    Branch structure (replicated exactly, but branchless):
+      * step 0: force along the current heading;
+      * navigation state "arrived": zero force;
+      * next destination not the last: spline through the previous+current
+        position and up to 4 forward destinations;
+      * last destination: spline through positions now, one step back and
+        1 s back, plus the destination;
+      * look-ahead beyond the spline end: fall back to the straight-line
+        force -- INCLUDING the reference's quirk that the fallback re-runs
+        the destination-queue update and navigation FSM a second time in
+        the same step (vehicle.py:1556 calling vehicle.py:1189-1194).
+
+    Divergences from the reference (degenerate cases only): the reference
+    indexes a 30 s trajectory ring buffer, so after 30 s simulated time its
+    "1 s back" sample silently wraps to stale data (vehicle.py:1279-1280,
+    1486-1492) -- here the lookback is exact for arbitrary horizons; and
+    where FITPACK raises on duplicate spline points (stationary agent,
+    vehicle.py:1495-1507) the moment system here yields non-finite forces
+    instead of crashing.
+    """
+    n = state.n
+    npar = nav_params_view(params, n)
+    g = jnp.broadcast_to(jnp.asarray(params.g), (n,))
+    t_s = jnp.broadcast_to(jnp.asarray(params.t_s), (n,))
+    hist = state.hist_len
+
+    def per_agent(s, pos_hist, i, dest, dq, ptr, nq, znav, znavp,
+                  istop, dstop, p, g_a, ts_a):
+        pos = s[:2]
+        v = s[V]
+        lookback = jnp.floor(1.0 / ts_a).astype(jnp.int32)  # vehicle.py:1486
+
+        # ---- first pass: destination-queue update + navigation FSM
+        dest1, ptr1, istop1, dstop1 = nav.update_destination(
+            pos, dest, dq, ptr, nq, znav, i, istop, dstop,
+            p.d_arrived_inter)
+        ddest1 = nav.dest_distance(pos, dq, ptr1)
+        vd1, znav1, znavp1 = nav.update_nav_state(
+            v, ddest1, dest1[2], znav, znavp, i, p)
+
+        # ---- spline support points
+        is_last = ptr1 >= nq - 1
+        prev = pos_hist[(i - 1) % hist]
+
+        # not-last: (prev, current, dq[ptr1 .. ptr1+fwd-1]), fwd in 2..4
+        fwd = jnp.minimum(SPL_N_FWD, nq - ptr1)
+        didx = jnp.clip(ptr1 + jnp.arange(SPL_N_FWD), 0, dq.shape[0] - 1)
+        pts_nl = jnp.concatenate(
+            [prev[None], pos[None], dq[didx, :2]], axis=0)     # [6, 2]
+
+        # last: (1 s back, one step back, current, destination)
+        jb = jnp.maximum(0, i - lookback) % hist
+        pts_last = jnp.stack(
+            [pos_hist[jb], prev, pos, dest1[:2]], axis=0)      # [4, 2]
+
+        dspl_nl = jax.lax.switch(
+            jnp.clip(fwd - 2, 0, 2),
+            [lambda p6: spl.fit_eval_parametric(p6[:4], SPL_N_PNTS),
+             lambda p6: spl.fit_eval_parametric(p6[:5], SPL_N_PNTS),
+             lambda p6: spl.fit_eval_parametric(p6[:6], SPL_N_PNTS)],
+            pts_nl)
+        dspl_last = spl.fit_eval_parametric(pts_last, SPL_N_PNTS)
+        dspl = jnp.where(is_last, dspl_last, dspl_nl)
+
+        # ---- spline force
+        d2 = ((dspl[:, 0] - pos[0]) ** 2 + (dspl[:, 1] - pos[1]) ** 2)
+        i_spl = jnp.where(is_last, jnp.argmin(d2), 1)
+        ipred = i_spl + jnp.where(dest1[2] > 0, SPL_IPRED_LAST, SPL_IPRED)
+        ip = jnp.minimum(ipred, SPL_N_PNTS - 1)
+
+        dx, dy = dspl[i_spl, 2], dspl[i_spl, 3]
+        d2x, d2y = dspl[i_spl, 4], dspl[i_spl, 5]
+        R = jnp.sqrt(dx**2 + dy**2) ** 3 / jnp.abs(dx * d2y - dy * d2x)
+        v_curve = jnp.maximum(SPL_V_MIN_STABLE,
+                              jnp.sqrt(SPL_THETA_COMF * g_a * R))
+        v_spl = jnp.minimum(v_curve, vd1)
+        seg = dspl[ip, :2] - dspl[i_spl, :2]
+        seg_len = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
+        f_spl = v_spl * seg / jnp.where(seg_len > 0, seg_len, 1.0)
+
+        # ---- straight-line fallback with the double-FSM-update quirk
+        dest2, ptr2, istop2, dstop2 = nav.update_destination(
+            pos, dest1, dq, ptr1, nq, znav1, i, istop1, dstop1,
+            p.d_arrived_inter)
+        ddest2 = nav.dest_distance(pos, dq, ptr2)
+        vd2, znav2, znavp2 = nav.update_nav_state(
+            v, ddest2, dest2[2], znav1, znavp1, i, p)
+        fb_x, fb_y = F.dest_force_straight(
+            pos[0], pos[1], dest2[0], dest2[1], vd2, ddest2)
+
+        # ---- branch selection (precedence: step-0, arrived, fallback,
+        # spline); the unselected spline branch may contain NaN from
+        # degenerate support points -- jnp.where drops it.
+        use_fb = (ipred >= SPL_N_PNTS) & ~znav1[2] & (i > 0)
+        fx = jnp.where(i == 0, vd1 * jnp.cos(s[PSI]),
+                       jnp.where(znav1[2], 0.0,
+                                 jnp.where(use_fb, fb_x, f_spl[0])))
+        fy = jnp.where(i == 0, vd1 * jnp.sin(s[PSI]),
+                       jnp.where(znav1[2], 0.0,
+                                 jnp.where(use_fb, fb_y, f_spl[1])))
+
+        def sel(a, b):
+            return jnp.where(use_fb, a, b)
+
+        return (fx, fy, sel(dest2, dest1), sel(ptr2, ptr1),
+                sel(znav2, znav1), sel(znavp2, znavp1),
+                sel(istop2, istop1), sel(dstop2, dstop1))
+
+    fx, fy, dest, ptr, znav, znavp, istop, dstop = jax.vmap(per_agent)(
+        state.s, state.pos_hist, state.i, state.dest, state.destqueue,
+        state.destpointer, state.nq, state.znav, state.znavparams,
+        state.i_stopsignal, state.d_stopsignal, npar, g, t_s)
+
+    new_state = state.replace(
+        dest=dest, destpointer=ptr, znav=znav, znavparams=znavp,
+        i_stopsignal=istop, d_stopsignal=dstop)
+    return fx, fy, new_state
+
+
+# --------------------------------------------------------------------------
 # pairwise repulsive-force tiles
 #
 # Every repulsive field is expressed as a TILE function
@@ -160,6 +303,7 @@ def rep_tile_legacy(params, src, recv):
 DEST_FORCES: dict[str, Callable] = {
     "straight": dest_force_straight,
     "direct": dest_force_straight,
+    "spline": dest_force_spline,
 }
 
 REP_FORCES: dict[str, Callable] = {

@@ -8,10 +8,20 @@ Each model module exposes:
     dynamics/control step for the whole population.
 """
 
-from cyclistsocialforce_tpu.models import bicycle2d
+from cyclistsocialforce_tpu.models import bicycle2d, bicycle_twod, planarpoint
 
 MODELS = {
-    "bicycle2d": bicycle2d,     # reference "planartwowheel" / Bicycle
+    "bicycle2d": bicycle2d,      # reference "planartwowheel" / Bicycle
+    "twod": bicycle_twod,        # reference TwoDBicycle ("2D model")
+    "planarpoint": planarpoint,  # reference PlanarPointBicycle
 }
 
-__all__ = ["MODELS", "bicycle2d"]
+
+def prepare(model, params, state):
+    """Model-specific state initialization (dynamics-internal latents),
+    the analog of the reference's Dynamics.__init__ state transforms."""
+    fn = getattr(model, "prepare", None)
+    return fn(params, state) if fn is not None else state
+
+
+__all__ = ["MODELS", "prepare", "bicycle2d", "bicycle_twod", "planarpoint"]

@@ -38,6 +38,12 @@ class DummyDrawing:
 
 
 def run_intersection(vehicles, n_steps):
+    """Step the reference intersection; returns the number of completed
+    steps. Stops early when the reference crashes (e.g. upstream bug:
+    PlanarPointBicycle borrows TwoDBicycle.calcDestinationForce whose
+    straight-line fallback calls zero-arg super() against the wrong class,
+    reference vehicle.py:1556 + 2022-2024 -> TypeError near the final
+    destination)."""
     from cyclistsocialforce.intersection import SocialForceIntersection
 
     for v in vehicles:
@@ -45,9 +51,14 @@ def run_intersection(vehicles, n_steps):
     ins = SocialForceIntersection(list(vehicles),
                                   activate_sumo_cosimulation=False,
                                   animate=False)
-    for _ in range(n_steps):
-        ins.step()
-    return ins
+    for k in range(n_steps):
+        try:
+            ins.step()
+        except Exception as e:
+            print(f"  reference stopped at step {k}: "
+                  f"{type(e).__name__}: {e}")
+            return k
+    return n_steps
 
 
 def encroachment_vehicles(bike_type, n_states=8, save_forces=True):
@@ -93,7 +104,7 @@ def gen_encroachment_bicycle2d(n_steps=700):
     from cyclistsocialforce.vehicle import Bicycle
 
     vehicles = encroachment_vehicles(Bicycle, n_states=5)
-    run_intersection(vehicles, n_steps)
+    n_steps = run_intersection(vehicles, n_steps)
     save("encroachment_bicycle2d.npz", vehicles, n_steps)
 
 
@@ -101,7 +112,7 @@ def gen_encroachment_planarpoint(n_steps=700):
     from cyclistsocialforce.vehicle import PlanarPointBicycle
 
     vehicles = encroachment_vehicles(PlanarPointBicycle, n_states=4)
-    run_intersection(vehicles, n_steps)
+    n_steps = run_intersection(vehicles, n_steps)
     save("encroachment_planarpoint.npz", vehicles, n_steps)
 
 
@@ -109,7 +120,7 @@ def gen_encroachment_invpendulum(n_steps=700):
     from cyclistsocialforce.vehicle import InvPendulumBicycle
 
     vehicles = encroachment_vehicles(InvPendulumBicycle, n_states=6)
-    run_intersection(vehicles, n_steps)
+    n_steps = run_intersection(vehicles, n_steps)
     save("encroachment_invpendulum.npz", vehicles, n_steps)
 
 
@@ -117,19 +128,67 @@ def gen_encroachment_balancingrider(n_steps=700):
     from cyclistsocialforce.vehicle import BalancingRiderBicycle
 
     vehicles = encroachment_vehicles(BalancingRiderBicycle, n_states=8)
-    run_intersection(vehicles, n_steps)
+    n_steps = run_intersection(vehicles, n_steps)
     save("encroachment_balancingrider.npz", vehicles, n_steps)
 
 
-def gen_parcours_twod(n_steps=3000):
-    """Single TwoDBicycle following a destination queue (spline destination
-    force), after scenarios/parcours-scenario.py."""
+def construct_twod_family(cls, s0, id="", saveForces=False):
+    """Constructor workaround for an upstream bug: TwoDBicycle.__init__
+    calls `Bicycle.__init__(self, s0, id, route, saveForces, 0)`
+    positionally (reference vehicle.py:1359), but Bicycle.__init__ only
+    accepts (s0, **kwargs) (vehicle.py:1021) -- so TwoDBicycle and
+    InvPendulumBicycle raise TypeError on construction in v2.1.1. This
+    reproduces the evident intent of those constructors (vehicle.py:1323-
+    1364, 1690-1736) so their force/dynamics code can still be exercised
+    as a golden oracle.
+    """
+    import numpy as np
+    from cyclistsocialforce.dynamics import PIDcontroller
+    from cyclistsocialforce.parameters import InvPendulumBicycleParameters
+    from cyclistsocialforce.vehicle import (Bicycle, InvPendulumBicycle,
+                                            TwoDBicycle)
+
+    b = object.__new__(cls)
+    b.params = InvPendulumBicycleParameters()
+    Bicycle.__init__(b, s0, id=id, saveForces=saveForces, params=b.params)
+    b.speed_controller = PIDcontroller(
+        b.params.k_p_v, 0, 0, b.params.t_s, isangle=False)
+    if cls is InvPendulumBicycle:
+        b.init_dynamics_statespace()
+        b.x = np.array([[b.s[4]], [0], [b.s[5]], [0], [b.s[2]]])
+        b.zrid = np.zeros((2), dtype=bool)
+        if s0[3] < b.params.v_max_walk:
+            b.zrid[1] = True
+        else:
+            b.zrid[0] = True
+    return b
+
+
+PARCOURS_DESTS = ((10, 20, 30, 40, 50, 50, 50), (0, 4, -4, 0, 4, 30, 31))
+
+
+def gen_parcours_planarpoint(n_steps=2800):
+    """Single PlanarPointBicycle following a destination queue: exercises
+    the TwoD spline destination force (reference vehicle.py:1416-1558,
+    used by PlanarPointBicycle via vehicle.py:2022-2024) and the implicit-
+    midpoint planar point dynamics, after scenarios/parcours-scenario.py."""
+    from cyclistsocialforce.vehicle import PlanarPointBicycle
+
+    b = PlanarPointBicycle((0, 0, 0, 5), id="t", saveForces=True)
+    b.setDestinations(*PARCOURS_DESTS)
+    n_steps = run_intersection([b], n_steps)
+    save("parcours_planarpoint.npz", [b], n_steps)
+
+
+def gen_parcours_twod(n_steps=2800):
+    """Single TwoDBicycle on the parcours (constructed via
+    `construct_twod_family` -- see upstream ctor bug note there)."""
     from cyclistsocialforce.vehicle import TwoDBicycle
 
-    b = TwoDBicycle((0, 0, 0, 5, 0), id="t", saveForces=True)
-    b.setDestinations((10, 20, 30, 40, 50, 50, 50),
-                      (0, 4, -4, 0, 4, 30, 31))
-    run_intersection([b], n_steps)
+    b = construct_twod_family(TwoDBicycle, (0, 0, 0, 5, 0), id="t",
+                              saveForces=True)
+    b.setDestinations(*PARCOURS_DESTS)
+    n_steps = run_intersection([b], n_steps)
     save("parcours_twod.npz", [b], n_steps)
 
 
@@ -138,6 +197,7 @@ SCENARIOS = {
     "encroachment_planarpoint": gen_encroachment_planarpoint,
     "encroachment_invpendulum": gen_encroachment_invpendulum,
     "encroachment_balancingrider": gen_encroachment_balancingrider,
+    "parcours_planarpoint": gen_parcours_planarpoint,
     "parcours_twod": gen_parcours_twod,
 }
 
