@@ -61,7 +61,8 @@ def run_intersection(vehicles, n_steps):
     return n_steps
 
 
-def encroachment_vehicles(bike_type, n_states=8, save_forces=True):
+def encroachment_vehicles(bike_type, n_states=8, save_forces=True,
+                          construct=None):
     """The 3-cyclist encroachment scenario of demo/demoCSFstandalone.py
     (reference demo/demoCSFstandalone.py:94-136)."""
     s0 = [
@@ -77,8 +78,9 @@ def encroachment_vehicles(bike_type, n_states=8, save_forces=True):
     ]
     vehicles = []
     for s, vd, (dx, dy) in zip(s0, vels, dests):
-        b = bike_type(s[:n_states], id=f"bike{len(vehicles)}",
-                      saveForces=save_forces)
+        ctor = construct or bike_type
+        b = ctor(s[:n_states], id=f"bike{len(vehicles)}",
+                 saveForces=save_forces)
         b.params.v_desired_default = vd
         b.setDestinations(dx, dy)
         vehicles.append(b)
@@ -119,7 +121,10 @@ def gen_encroachment_planarpoint(n_steps=700):
 def gen_encroachment_invpendulum(n_steps=700):
     from cyclistsocialforce.vehicle import InvPendulumBicycle
 
-    vehicles = encroachment_vehicles(InvPendulumBicycle, n_states=6)
+    vehicles = encroachment_vehicles(
+        InvPendulumBicycle, n_states=6,
+        construct=lambda s0, **kw: construct_twod_family(
+            InvPendulumBicycle, s0, **kw))
     n_steps = run_intersection(vehicles, n_steps)
     save("encroachment_invpendulum.npz", vehicles, n_steps)
 
