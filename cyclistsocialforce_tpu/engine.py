@@ -462,7 +462,7 @@ class Engine(struct.PyTreeNode):
 
 
 _PER_AGENT_FIELDS = (
-    "s", "dyn_x", "dyn_v", "pid_e", "pid_i", "dest", "destqueue",
+    "s", "dyn_x", "dyn_v", "dyn_gains", "pid_e", "pid_i", "dest", "destqueue",
     "destpointer", "nq", "znav", "znavparams", "i_stopsignal",
     "d_stopsignal", "zrid", "walk_ok_steps",
 )

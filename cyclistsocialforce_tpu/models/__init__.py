@@ -8,14 +8,16 @@ Each model module exposes:
     dynamics/control step for the whole population.
 """
 
-from cyclistsocialforce_tpu.models import (bicycle2d, bicycle_twod,
-                                           invpendulum, planarpoint)
+from cyclistsocialforce_tpu.models import (balancingrider, bicycle2d,
+                                           bicycle_twod, invpendulum,
+                                           planarpoint)
 
 MODELS = {
-    "bicycle2d": bicycle2d,      # reference "planartwowheel" / Bicycle
-    "twod": bicycle_twod,        # reference TwoDBicycle ("2D model")
-    "planarpoint": planarpoint,  # reference PlanarPointBicycle
-    "invpendulum": invpendulum,  # reference InvPendulumBicycle
+    "bicycle2d": bicycle2d,          # reference "planartwowheel" / Bicycle
+    "twod": bicycle_twod,            # reference TwoDBicycle ("2D model")
+    "planarpoint": planarpoint,      # reference PlanarPointBicycle
+    "invpendulum": invpendulum,      # reference InvPendulumBicycle
+    "balancingrider": balancingrider,  # reference BalancingRiderBicycle
 }
 
 

@@ -1,0 +1,217 @@
+"""Balancing-rider bicycle: linearized Whipple-Carvallo dynamics with
+full-state feedback, implicit-midpoint integration, GMM rider behavior.
+
+TPU-native port of BalancingRiderBicycle / BalancingRiderDynamics
+(reference vehicle.py:1953-1988, dynamics.py:261-706), the flagship 3D
+model: per step the reference
+
+  1. P-controls the speed (dynamics.py:618-649),
+  2. re-places the closed-loop poles at the midpoint speed whenever the
+     speed changed (`ct.place` + a 1000-sample forced response whose K_u
+     scaling is then DISCARDED -- `_get_gains` returns `gains[0] == K_x`
+     and the EOMs use k_psi = K_x[4] as the input gain,
+     dynamics.py:602-615, 465-477),
+  3. solves the 7-state implicit-midpoint residual with Levenberg-
+     Marquardt (dynamics.py:690-698).
+
+The TPU re-design exploits two structural facts:
+
+  * the pole placement is SISO and therefore closed-form (Ackermann), with
+    the desired characteristic polynomial assembled directly from the pole
+    FEATURES (real/imag parts) of the behavior model -- no complex
+    arithmetic, no per-step `ct.place`;
+  * the midpoint residual is block-triangular: the 5 bike-rider states
+    [phi, delta, phidot, deltadot, psi] evolve LINEARLY (given gains), and
+    the positions depend only on the yaw -- so the LM iteration's fixed
+    point has a closed form: one batched 5x5 solve
+
+        x' = (I - h/2 Acl)^{-1} [(I + h/2 Acl) x + h Bcl psi_c (+ h B2 d)]
+
+    followed by the explicit position update with the midpoint yaw.
+
+Everything is vectorized over the agent axis; state transforms between the
+CSF frame (x fwd, y left, z up) and the bike-model frame (y right, z down)
+flip the signs of y/steer/yaw exactly as the reference
+(dynamics.py:321-399).
+
+Stochastic rider behavior (reference parameters.py:1376-1411): when
+`params.stochastic_control_behavior`, each agent resamples its pole
+features from the conditional GMM pole model on device once its speed
+moved more than `controlparam_resampling_speedthresh` from the last
+update. Torque disturbances (removed upstream, dynamics.py:317-318) are
+re-introduced: per-step Bernoulli roll/steer torque impulses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cyclistsocialforce_tpu.ops.control import (ackermann,
+                                                charpoly_from_pole_features)
+from cyclistsocialforce_tpu.params import pair_hi, pair_lo
+from cyclistsocialforce_tpu.state import (DDELTA, DELTA, DTHETA, PSI, THETA,
+                                          V, X, Y, AgentState)
+from cyclistsocialforce_tpu.utils.angles import (angle_difference,
+                                                 limit_angle, thresh)
+
+N_STATES = 8
+REP_FORCE = "twod"
+DEST_FORCE = "direct"   # calc_direct_approach_dest_force, vehicle.py:2078
+
+# dyn_gains layout
+_KX = slice(0, 5)        # cached feedback gains K_x
+_PF = slice(5, 10)       # current pole features (stochastic mode)
+_VLAST = 10              # speed at last pole resampling
+
+
+def _bcast(params, name, n):
+    return jnp.broadcast_to(jnp.asarray(getattr(params, name)), (n,))
+
+
+def _sysmats(params, n, dtype):
+    """Population view of the A(v)-structure matrices ([N, 5, 5] etc.)."""
+    def b(x, shape):
+        return jnp.broadcast_to(jnp.asarray(x, dtype=dtype), (n,) + shape)
+
+    return (b(params.br_A0, (5, 5)), b(params.br_A1, (5, 5)),
+            b(params.br_A2, (5, 5)), b(params.br_B, (5,)),
+            b(params.br_B_roll, (5,)))
+
+
+def _pole_features(params, state, v, n):
+    """Per-agent pole features at speed v: linear mean functions, or the
+    agent's current stochastic sample held in dyn_gains."""
+    lin = jnp.broadcast_to(jnp.asarray(params.br_pole_lin), (n, 5, 2))
+    feats_lin = lin[:, :, 0] + lin[:, :, 1] * v[:, None]
+    if not params.stochastic_control_behavior:
+        return feats_lin, state
+    # hysteresis resampling (reference parameters.py:1397-1411)
+    thresh_v = _bcast(params, "controlparam_resampling_speedthresh", n)
+    v_last = state.dyn_gains[:, _VLAST]
+    need = jnp.abs(v - v_last) > thresh_v
+    key, sub = jax.random.split(state.key)
+    keys = jax.random.split(sub, n)
+    rt = params.polemodel_rt
+    sampled = jax.vmap(rt.sample_features)(keys, v)
+    cur = state.dyn_gains[:, _PF]
+    feats = jnp.where(need[:, None], sampled, cur)
+    v_last = jnp.where(need, v, v_last)
+    dg = state.dyn_gains.at[:, _PF].set(feats).at[:, _VLAST].set(v_last)
+    return feats, state.replace(dyn_gains=dg, key=key)
+
+
+def _gains_at(params, A0, A1, A2, B, feats, v):
+    """K_x(v) for one agent: Ackermann placement of the poles given by
+    `feats` on A(v) (reference dynamics.py:602-615 + 1167-1227; the
+    reference's K_u is discarded there, so only K_x matters)."""
+    A = A0 + v * A1 + (v * v) * A2
+    coeffs = charpoly_from_pole_features(feats)
+    return ackermann(A, B, coeffs)
+
+
+def init_gains(params, state: AgentState) -> AgentState:
+    """Initial gains at the initial speed (reference dynamics.py:306)."""
+    n = state.n
+    dtype = state.s.dtype
+    v0 = state.s[:, V]
+    A0, A1, A2, B, _ = _sysmats(params, n, dtype)
+    feats, state = _pole_features(params, state, v0, n)
+    K = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        params, A0, A1, A2, B, feats, v0)
+    dg = state.dyn_gains.at[:, _KX].set(K)
+    if params.stochastic_control_behavior:
+        dg = dg.at[:, _PF].set(feats).at[:, _VLAST].set(v0)
+    return state.replace(dyn_gains=dg)
+
+
+def prepare(params, state: AgentState) -> AgentState:
+    """CSF state -> bike-model latents (reference dynamics.py:361-399):
+    x = [roll, -steer, rollrate, -steerrate, -yaw, x, -y]."""
+    s = state.s
+    dyn_x = jnp.stack([
+        s[:, THETA], -s[:, DELTA], s[:, DTHETA], -s[:, DDELTA],
+        -s[:, PSI], s[:, X], -s[:, Y]], axis=1)
+    return init_gains(params, state.replace(dyn_x=dyn_x, dyn_v=s[:, V]))
+
+
+def step(params, state: AgentState, fx, fy) -> AgentState:
+    """One balancing-rider step (reference dynamics.py:674-706)."""
+    n = state.n
+    s = state.s
+    dtype = s.dtype
+    t_s = _bcast(params, "t_s", n)
+
+    # ---- speed P-control + Euler integration (dynamics.py:618-649)
+    v_old = s[:, V]
+    vd = jnp.sqrt(fx * fx + fy * fy)
+    a = _bcast(params, "k_p_v", n) * (vd - v_old)
+    a = thresh(a, (pair_lo(params.a_max), pair_hi(params.a_max)))
+    v_new = thresh(v_old + t_s * a,
+                   (pair_lo(params.v_max_riding),
+                    pair_hi(params.v_max_riding)))
+    v_mid = (v_new + v_old) / 2.0
+
+    # ---- gains: recompute only where the speed changed, else keep the
+    # cache (reference dynamics.py:680-681)
+    A0, A1, A2, B, B_roll = _sysmats(params, n, dtype)
+    if params.br_gains_fixed is not None:
+        K = jnp.broadcast_to(jnp.asarray(params.br_gains_fixed, dtype=dtype),
+                             (n, 5))
+    else:
+        feats, state = _pole_features(params, state, v_mid, n)
+        K_new = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            params, A0, A1, A2, B, feats, v_mid)
+        changed = v_new != v_old
+        K = jnp.where(changed[:, None], K_new, state.dyn_gains[:, _KX])
+
+    # ---- commanded yaw in the bike frame (dynamics.py:652-671)
+    psi_bike = state.dyn_x[:, 4]
+    psi_F = limit_angle(jnp.arctan2(-fy, fx))
+    psi_c = psi_bike + angle_difference(psi_bike, psi_F)
+
+    # ---- torque disturbances (re-introduced feature; p = 0 -> exact
+    # zeros, so the deterministic path is unaffected)
+    key, sub = jax.random.split(state.key)
+    kr, ks = jax.random.split(sub)
+    b_roll = jax.random.bernoulli(
+        kr, jnp.broadcast_to(jnp.asarray(params.p_dist_roll),
+                             (n,))).astype(dtype)
+    b_steer = jax.random.bernoulli(
+        ks, jnp.broadcast_to(jnp.asarray(params.p_dist_steer),
+                             (n,))).astype(dtype)
+    T_roll = b_roll * _bcast(params, "T_dist_roll", n)
+    T_steer = b_steer * _bcast(params, "T_dist_steer", n)
+    state = state.replace(key=key)
+
+    # ---- closed-form implicit midpoint of the block-triangular system
+    def solve_one(A0a, A1a, A2a, Ba, B2a, Ka, vm, psic, x, h, Tr, Ts):
+        A = A0a + vm * A1a + (vm * vm) * A2a
+        Acl = A - Ba[:, None] * Ka[None, :]
+        u = Ka[4] * psic + Ts          # k_psi == K_u (dynamics.py:465-477)
+        rhs = (x[:5] + (h / 2.0) * (Acl @ x[:5])
+               + h * (Ba * u + B2a * Tr))
+        lhs = jnp.eye(5, dtype=x.dtype) - (h / 2.0) * Acl
+        x5 = jnp.linalg.solve(lhs, rhs)
+        psi_mid = (x[4] + x5[4]) / 2.0
+        px = x[5] + h * vm * jnp.cos(psi_mid)
+        py = x[6] + h * vm * jnp.sin(psi_mid)
+        return jnp.concatenate([x5, jnp.array([px, py], dtype=x.dtype)])
+
+    dyn_x = jax.vmap(solve_one)(A0, A1, A2, B, B_roll, K, v_mid, psi_c,
+                                state.dyn_x, t_s, T_roll, T_steer)
+
+    # ---- bike frame -> CSF state (dynamics.py:321-358)
+    s_new = jnp.stack([
+        dyn_x[:, 5],                       # x
+        -dyn_x[:, 6],                      # y
+        -limit_angle(dyn_x[:, 4]),         # yaw
+        v_new,                             # speed
+        -limit_angle(dyn_x[:, 1]),         # steer
+        limit_angle(dyn_x[:, 0]),          # roll
+        -dyn_x[:, 3],                      # steer rate
+        dyn_x[:, 2],                       # roll rate
+    ], axis=1)
+
+    dg = state.dyn_gains.at[:, _KX].set(K)
+    return state.replace(s=s_new, dyn_x=dyn_x, dyn_v=v_new, dyn_gains=dg)

@@ -58,6 +58,48 @@ def poly_from_roots(roots):
     return c[::-1]
 
 
+def charpoly_from_pole_features(feats):
+    """Monic characteristic polynomial (highest power first) of the pole
+    set encoded by ImRe pole features
+    ``[p0_real, p1_real, p1_imag, p2_real, p2_imag]`` -- i.e. poles
+    [p0, p1 +/- j q1, p2 +/- j q2] (the reference's pole ordering in
+    update_control_params, parameters.py:1397-1411).
+
+    Real-arithmetic expansion: (s - p0) (s^2 - 2 p1 s + p1^2 + q1^2)
+    (s^2 - 2 p2 s + p2^2 + q2^2). Degree inferred from feats length
+    (5 -> quintic, 3 -> cubic, 1 -> linear).
+    """
+    feats = jnp.asarray(feats)
+    one = jnp.ones((), dtype=feats.dtype)
+    poly = jnp.stack([one, -feats[0]])
+    m = feats.shape[0]
+    i = 1
+    while i + 1 < m:
+        p, q = feats[i], feats[i + 1]
+        quad = jnp.stack([one, -2.0 * p, p * p + q * q])
+        poly = jnp.convolve(poly, quad)
+        i += 2
+    return poly
+
+
+def ackermann(A, B, coeffs):
+    """Ackermann gain K = e_n^T ctrb(A, B)^{-1} phi(A) for a SISO system,
+    with phi the desired monic characteristic polynomial given by `coeffs`
+    (highest power first, length n+1)."""
+    B = B.reshape(-1)
+    n = A.shape[0]
+    cols = [B]
+    for _ in range(n - 1):
+        cols.append(A @ cols[-1])
+    ctrb = jnp.stack(cols, axis=1)
+    phiA = jnp.zeros_like(A)
+    eye = jnp.eye(n, dtype=A.dtype)
+    for k in range(n + 1):
+        phiA = phiA @ A + coeffs[k] * eye
+    en = jnp.zeros((n,), dtype=A.dtype).at[-1].set(1.0)
+    return en @ jnp.linalg.solve(ctrb, phiA)
+
+
 def place_siso(A, B, poles):
     """Ackermann pole placement for a single-input system.
 

@@ -345,6 +345,136 @@ class InvPendulumBicycleParams(BicycleParams):
         return (-y - jnp.sqrt(y**2 - 4 * x * z)) / (2 * x)
 
 
+class BalancingRiderParams(BicycleParams):
+    """Whipple-Carvallo balancing-rider bicycle parameters
+    (reference parameters.py:1214-1412).
+
+    The reference wraps the external `bicycleparameters` package and a
+    sklearn GMM pole model and re-runs pole placement per step; here the
+    physical model is reduced at construction time to the speed-structured
+    state-space decomposition
+
+        A(v) = br_A0 + v * br_A1 + v^2 * br_A2       (5-state, incl. yaw)
+
+    and the rider behavior to linear-in-speed pole-feature functions
+    `br_pole_lin` (the reference's component mean functions,
+    controlbehavior.py:1601-1650) -- everything the per-step TPU kernel
+    needs is a handful of small arrays.
+    """
+
+    v_desired_default: Any = 5.0
+    m: Any = None          # total system mass (bike + rider + wheels)
+    # state-space structure (built by `create`)
+    br_A0: Any = None     # [5, 5]
+    br_A1: Any = None     # [5, 5]
+    br_A2: Any = None     # [5, 5]
+    br_B: Any = None      # [5] steer-torque input column
+    br_B_roll: Any = None  # [5] roll-torque input column (disturbances)
+    # rider control behavior: pole features linear in speed [5, 2]
+    # ([:, 0] intercept, [:, 1] slope), or fixed gains [5]
+    br_pole_lin: Any = None
+    br_gains_fixed: Any = None
+    # Fields that describe the (single) physical bicycle / behavior model
+    # and stay shared across the population in `as_population`.
+    POPULATION_SHARED = ("br_A0", "br_A1", "br_A2", "br_B", "br_B_roll",
+                         "polemodel_rt")
+    # stochastic control behavior (reference parameters.py:1376-1411)
+    stochastic_control_behavior: bool = struct.field(
+        pytree_node=False, default=False)
+    controlparam_resampling_speedthresh: Any = 0.8333
+    polemodel_rt: Any = None
+    # torque disturbances -- re-introduced feature (the reference removed
+    # support: dynamics.py:317-318; params parameters.py:1319-1322)
+    p_dist_roll: Any = 0.0
+    p_dist_steer: Any = 0.0
+    T_dist_roll: Any = 9000.0
+    T_dist_steer: Any = 1000.0
+
+    @classmethod
+    def create(cls, bicycle_parameter_dict=None, poles=None, gains=None,
+               controlparam_filename="BR1_ImRe5GivenV_pole-model-params"
+                                     ".yaml",
+               stochastic_control_behavior=False,
+               controlparam_resampling_speedthresh=0.8333,
+               controlparam_polemodel_component=0,
+               p_dist_roll=0.0, p_dist_steer=0.0,
+               T_dist_roll=9000.0, T_dist_steer=1000.0,
+               calib_mode=False, verbose=True, **kw):
+        from cyclistsocialforce_tpu import behavior
+        from cyclistsocialforce_tpu.ops import whipple
+
+        p = dict(bicycle_parameter_dict
+                 or whipple.BALANCEASSIST_WITH_RIDER)
+        # wheelbase forced to the physical parameter set
+        # (reference parameters.py:1290-1295)
+        kw["l"] = p["w"]
+        kw["l_1"] = p["w"] / 2.0
+        kw.pop("l_2", None)
+        kw["g"] = p["g"]
+        kw["m"] = p["mB"] + p["mF"] + p["mH"] + p["mR"]
+
+        # A(v) structure from the canonical matrices (Meijaard 2007):
+        # A[2:4,0:2] = -Minv (g K0 + v^2 K2); A[2:4,2:4] = -Minv C1 v;
+        # yaw rows A[4,1] = cos(lam)/w * v, A[4,3] = cos(lam) c / w
+        # (reference dynamics.py:511-538).
+        M, C1, K0, K2 = whipple.canonical_matrices(p)
+        Minv = np.linalg.inv(M)
+        cl, w, c = np.cos(p["lam"]), p["w"], p["c"]
+        A0 = np.zeros((5, 5))
+        A0[0:2, 2:4] = np.eye(2)
+        A0[2:4, 0:2] = -Minv @ (p["g"] * K0)
+        A0[4, 3] = cl * c / w
+        A1 = np.zeros((5, 5))
+        A1[2:4, 2:4] = -Minv @ C1
+        A1[4, 1] = cl / w
+        A2 = np.zeros((5, 5))
+        A2[2:4, 0:2] = -Minv @ K2
+        B = np.zeros(5)
+        B[2:4] = Minv[:, 1]
+        B_roll = np.zeros(5)
+        B_roll[2:4] = Minv[:, 0]
+
+        # rider control behavior
+        pole_lin = None
+        gains_fixed = None
+        pm_rt = None
+        if gains is not None:
+            gains_fixed = np.asarray(gains, dtype=float).reshape(-1)
+        elif poles is not None:
+            # fixed poles in the reference ordering
+            # [real, a+jb, a-jb, c+jd, c-jd] -> feature vector
+            po = np.asarray(poles, dtype=complex).reshape(-1)
+            feats = np.array([po[0].real, po[1].real, abs(po[1].imag),
+                              po[3].real, abs(po[3].imag)])
+            pole_lin = np.c_[feats, np.zeros(5)]
+        else:
+            pm = behavior.load_packaged_polemodel(controlparam_filename)
+            if stochastic_control_behavior:
+                if controlparam_polemodel_component >= pm.gmm.n_components:
+                    raise ValueError(
+                        f"pole model {controlparam_filename} has only "
+                        f"{pm.gmm.n_components} components")
+                pm_rt = behavior.PoleModelRT.from_polemodel(pm)
+                # mean funcs double as the t=0 initialization
+                pole_lin = pm.component_mean_function_params()[
+                    controlparam_polemodel_component]
+            else:
+                pole_lin = pm.component_mean_function_params()[
+                    controlparam_polemodel_component]
+
+        return super().create(
+            calib_mode=calib_mode, verbose=verbose,
+            br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
+            br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
+            stochastic_control_behavior=bool(stochastic_control_behavior),
+            controlparam_resampling_speedthresh=(
+                controlparam_resampling_speedthresh),
+            polemodel_rt=pm_rt,
+            p_dist_roll=_chk_range("p_dist_roll", p_dist_roll, 0.0, 1.0),
+            p_dist_steer=_chk_range("p_dist_steer", p_dist_steer, 0.0, 1.0),
+            T_dist_roll=T_dist_roll, T_dist_steer=T_dist_steer, **kw)
+
+
 class RoadElementParams(struct.PyTreeNode):
     """Road-edge repulsion parameters (reference parameters.py:367-418)."""
 
@@ -381,11 +511,28 @@ def as_population(params, n: int):
     Use this to create per-agent parameter arrays that can afterwards be
     updated agent-by-agent (e.g. heterogeneous v_desired_default as in the
     reference standalone demo, demo/demoCSFstandalone.py:101-113).
+
+    Fields named in the params class's ``POPULATION_SHARED`` tuple (e.g.
+    the BalancingRider state-space structure matrices and the pole-model
+    runtime) keep their population-shared shape.
     """
+    import dataclasses
+
     import jax
 
     def bcast(leaf):
         arr = jnp.asarray(leaf)
         return jnp.broadcast_to(arr, (n,) + arr.shape)
 
+    shared = getattr(type(params), "POPULATION_SHARED", ())
+    if shared and dataclasses.is_dataclass(params):
+        upd = {}
+        for f in dataclasses.fields(params):
+            if f.name in shared or not f.metadata.get("pytree_node", True):
+                continue
+            val = getattr(params, f.name)
+            if val is None:
+                continue
+            upd[f.name] = jax.tree_util.tree_map(bcast, val)
+        return params.replace(**upd)
     return jax.tree_util.tree_map(bcast, params)

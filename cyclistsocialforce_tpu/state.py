@@ -38,6 +38,12 @@ class AgentState(struct.PyTreeNode):
     # dynamics-internal latent state (meaning depends on the model family)
     dyn_x: Any             # [N, 7] float
     dyn_v: Any             # [N] float, speed tracked by the dynamics engine
+    # cached controller gains / control-behavior latents (model-dependent;
+    # e.g. BalancingRider: K_x[0:5], pole features[5:10], v_last_update[10]
+    # -- the analog of the reference's gains-if-speed-changed cache,
+    # dynamics.py:680-681, and the stochastic pole-resampling hysteresis,
+    # parameters.py:1397-1411)
+    dyn_gains: Any         # [N, 12] float
     # PID controller states: column 0 = steer loop, column 1 = speed loop
     pid_e: Any             # [N, 2] float, previous error
     pid_i: Any             # [N, 2] float, integral accumulator
@@ -126,6 +132,7 @@ def make_state(s0, queue_size: int = 16, hist_len: int = 128,
         s=s,
         dyn_x=jnp.zeros((n, 7), dtype=dtype),
         dyn_v=s[:, V],
+        dyn_gains=jnp.zeros((n, 12), dtype=dtype),
         pid_e=jnp.zeros((n, 2), dtype=dtype),
         pid_i=jnp.zeros((n, 2), dtype=dtype),
         dest=dest,
