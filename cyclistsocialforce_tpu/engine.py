@@ -321,11 +321,44 @@ class RoadElements(struct.PyTreeNode):
     sigma: Any      # scalar or [Vtot]
 
 
+class ScriptedTraj(struct.PyTreeNode):
+    """Prescribed trajectories for uncontrolled agents.
+
+    Equivalent of UncontrolledVehicle / Vehicle.set_uncontrolled (reference
+    vehicle.py:920-987, 330-356): a scripted agent ignores all forces and
+    replays `traj[agent, i]` at step counter i, holding its last state once
+    the script runs out -- while still EMITTING its repulsive force field
+    on the rest of the population (vehicle.py:981-984; give such agents
+    car-like force-field parameters via per-agent params arrays).
+    """
+
+    traj: Any     # [N, T, k<=8] prescribed CSF states
+    mask: Any     # [N] bool -- which agents are scripted
+    length: Any   # [N] int32 -- valid steps per agent
+
+    @classmethod
+    def create(cls, n: int, trajectories: dict, dtype=jnp.float64):
+        """Build from {agent_index: [T_a, k] array} (host-side setup)."""
+        t_max = max((np.shape(t)[0] for t in trajectories.values()),
+                    default=1)
+        traj = np.zeros((n, t_max, 8), dtype=np.dtype(dtype))
+        mask = np.zeros((n,), dtype=bool)
+        length = np.zeros((n,), dtype=np.int32)
+        for a, t in trajectories.items():
+            t = np.asarray(t, dtype=np.dtype(dtype))
+            traj[a, :t.shape[0], :t.shape[1]] = t
+            mask[a] = True
+            length[a] = t.shape[0]
+        return cls(traj=jnp.asarray(traj), mask=jnp.asarray(mask),
+                   length=jnp.asarray(length))
+
+
 class Engine(struct.PyTreeNode):
     """One shared space with one (homogeneous-model) agent population."""
 
     params: Any
     road: Any = None                        # RoadElements or None
+    scripted: Any = None                    # ScriptedTraj or None
     model_step: Callable = struct.field(pytree_node=False, default=None)
     dest_force: Callable = struct.field(pytree_node=False,
                                         default=dest_force_straight)
@@ -340,7 +373,7 @@ class Engine(struct.PyTreeNode):
     @classmethod
     def create(cls, params, model, road=None, dest_force=None,
                rep_force=None, priority_rule: str = "unregulated",
-               rep_chunk: int | None = None):
+               rep_chunk: int | None = None, scripted=None):
         """Build an engine from a model module (see models/ registry).
 
         `model` provides `step` and default `DEST_FORCE` / `REP_FORCE` names
@@ -353,8 +386,8 @@ class Engine(struct.PyTreeNode):
             model.REP_FORCE]
         if isinstance(rep, str):
             rep = REP_FORCES[rep]
-        return cls(params=params, road=road, model_step=model.step,
-                   dest_force=dest, rep_force=rep,
+        return cls(params=params, road=road, scripted=scripted,
+                   model_step=model.step, dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),
                    rep_chunk=rep_chunk)
 
@@ -404,6 +437,12 @@ class Engine(struct.PyTreeNode):
         `state` carries the navigation-FSM updates done by the destination
         force (reference intersection.py:747-864)."""
         fdx, fdy, state = self.dest_force(self.params, state)
+        if self.scripted is not None:
+            # scripted agents have no destination force (reference
+            # vehicle.py:985-986); the clamp below then also zeroes the
+            # repulsive force they receive.
+            fdx = jnp.where(self.scripted.mask, 0.0, fdx)
+            fdy = jnp.where(self.scripted.mask, 0.0, fdy)
 
         if self.rep_force is not None and state.n > 1:
             frx, fry = self.repulsive_sum(state)
@@ -420,11 +459,22 @@ class Engine(struct.PyTreeNode):
         return fx, fy, state
 
     def finish_step(self, before: AgentState, new: AgentState):
-        """Post-dynamics bookkeeping: freeze inactive agents, advance the
-        step counter, record the position ring buffer
-        (reference vehicle.py:319-321, 1279-1282: traj[:, i] <- s)."""
+        """Post-dynamics bookkeeping: freeze inactive agents, replay
+        scripted trajectories, advance the step counter, record the
+        position ring buffer (reference vehicle.py:319-321, 1279-1282)."""
         merged = _freeze_inactive(before.active, before, new)
         i = merged.i + jnp.where(before.active, 1, 0)
+        if self.scripted is not None:
+            # s <- traj[:, i] at the incremented counter, holding the last
+            # state past the script end (reference vehicle.py:973-977)
+            sc = self.scripted
+            idx = jnp.minimum(i, sc.length - 1)
+            replay = sc.traj[jnp.arange(merged.n), idx]
+            use = sc.mask & (i < sc.length)
+            hold = sc.mask & ~(i < sc.length)
+            s = jnp.where(use[:, None], replay, merged.s)
+            s = jnp.where(hold[:, None], before.s, s)
+            merged = merged.replace(s=s)
         slot = i % merged.hist_len
         pos_hist = merged.pos_hist.at[
             jnp.arange(merged.n), slot, :].set(merged.s[:, :2])

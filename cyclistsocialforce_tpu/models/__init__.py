@@ -9,7 +9,8 @@ Each model module exposes:
 """
 
 from cyclistsocialforce_tpu.models import (balancingrider, bicycle2d,
-                                           bicycle_twod, invpendulum,
+                                           bicycle_twod, hessbikerider,
+                                           invpendulum, planarbicycle,
                                            planarpoint)
 
 MODELS = {
@@ -18,6 +19,8 @@ MODELS = {
     "planarpoint": planarpoint,      # reference PlanarPointBicycle
     "invpendulum": invpendulum,      # reference InvPendulumBicycle
     "balancingrider": balancingrider,  # reference BalancingRiderBicycle
+    "planarbicycle": planarbicycle,  # reference PlanarBicycle
+    "hess": hessbikerider,           # reference HessBikeRiderDynamics
 }
 
 

@@ -146,6 +146,41 @@ def dc_gain(Acl, B, C):
     return (C @ x_ss).reshape(())
 
 
+def discretize_foh(A, B, dt):
+    """First-order-hold discretization via the augmented exponential:
+
+        expm([[A, B, 0], [0, 0, I], [0, 0, 0]] dt) -> Ad, P, Q
+
+    so that x_{k+1} = Ad x_k + P u_k + Q (u_{k+1} - u_k)/dt -- the exact
+    propagation rule of `forced_response` with linearly interpolated
+    inputs (python-control's continuous-time default). With constant
+    input the Q term vanishes and (Ad, P) is the ZOH pair.
+    """
+    n = A.shape[0]
+    B = B.reshape(n, -1)
+    m = B.shape[1]
+    aug = jnp.zeros((n + 2 * m, n + 2 * m), dtype=A.dtype)
+    aug = aug.at[:n, :n].set(A * dt)
+    aug = aug.at[:n, n:n + m].set(B * dt)
+    aug = aug.at[n:n + m, n + m:].set(jnp.eye(m, dtype=A.dtype) * dt)
+    e = jsl.expm(aug)
+    return e[:n, :n], e[:n, n:n + m], e[:n, n + m:]
+
+
+def matrix_power(A, k: int):
+    """A^k by square-and-multiply; k is a static Python int."""
+    n = A.shape[0]
+    result = jnp.eye(n, dtype=A.dtype)
+    base = A
+    while k > 0:
+        if k & 1:
+            result = result @ base
+        k >>= 1
+        if k:
+            base = base @ base
+    return result
+
+
 def discretize_zoh(A, B, dt):
     """Exact zero-order-hold discretization via the augmented exponential.
 

@@ -129,6 +129,14 @@ def gen_encroachment_invpendulum(n_steps=700):
     save("encroachment_invpendulum.npz", vehicles, n_steps)
 
 
+def gen_encroachment_planarbicycle(n_steps=700):
+    from cyclistsocialforce.vehicle import PlanarBicycle
+
+    vehicles = encroachment_vehicles(PlanarBicycle, n_states=5)
+    n_steps = run_intersection(vehicles, n_steps)
+    save("encroachment_planarbicycle.npz", vehicles, n_steps)
+
+
 def gen_encroachment_balancingrider(n_steps=700):
     from cyclistsocialforce.vehicle import BalancingRiderBicycle
 
@@ -202,6 +210,7 @@ SCENARIOS = {
     "encroachment_planarpoint": gen_encroachment_planarpoint,
     "encroachment_invpendulum": gen_encroachment_invpendulum,
     "encroachment_balancingrider": gen_encroachment_balancingrider,
+    "encroachment_planarbicycle": gen_encroachment_planarbicycle,
     "parcours_planarpoint": gen_parcours_planarpoint,
     "parcours_twod": gen_parcours_twod,
 }
