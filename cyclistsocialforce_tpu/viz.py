@@ -1,0 +1,306 @@
+"""Visualization: top-view vehicle drawings, force arrows, animation.
+
+Host-side matplotlib layer with the capabilities of the reference
+`vizualisation.py` (VehicleDrawing / BicycleDrawing2D / CarDrawing2D /
+Arrow2D, reference vizualisation.py:25-1020) re-designed for the SoA
+engine: one `SceneDrawing` renders the WHOLE population from the device
+state per frame (vectorized keypoint math over agents) instead of
+object-per-agent artist graphs, and plugs directly into
+`Scenario.run(callback=...)`.
+
+Components:
+  - `BicycleDrawing2D`: posed top-view bike + rider (wheels, frame,
+    handlebar, torso, arms, head) from (x, y, psi, delta), with a roll
+    indicator that turns red beyond 45 deg (reference
+    vizualisation.py:662-863).
+  - `CarDrawing2D`: rotated rectangle (reference vizualisation.py:432-561).
+  - `SceneDrawing`: population renderer with trajectory trails,
+    destination markers, force arrows (reference VehicleDrawing,
+    vizualisation.py:25-430).
+  - `animate` / `write_video`: interactive animation and mp4 writeout
+    (reference scenario.py:135-159, 198-223; OpenCV assembly).
+  - `plot_states` / `plot_forces`: per-agent state/force time series
+    (reference vehicle.py:734-917).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+STATE_LABELS = ["x [m]", "y [m]", "psi [rad]", "v [m/s]", "delta [rad]",
+                "theta [rad]", "ddelta [rad/s]", "dtheta [rad/s]"]
+
+
+def _rot(psi):
+    c, s = np.cos(psi), np.sin(psi)
+    return np.array([[c, -s], [s, c]])
+
+
+@dataclass
+class BicycleDrawing2D:
+    """Top-view bike + rider geometry (dimensions after the reference's
+    drawing parameter defaults, parameters.py:184-364)."""
+
+    wheel_len: float = 0.7
+    wheel_width: float = 0.12
+    wheelbase: float = 1.1
+    handlebar_width: float = 0.55
+    torso_len: float = 0.6
+    torso_width: float = 0.45
+    head_radius: float = 0.11
+    roll_warn: float = np.pi / 4
+
+    def keypoints(self, x, y, psi, delta):
+        """Polygon sets for one agent pose; returns dict name -> [K, 2]."""
+        p = np.array([x, y])
+        R = _rot(psi)
+        Rf = _rot(psi + delta)
+
+        def rect(center_local, length, width, rot):
+            dx, dy = length / 2, width / 2
+            corners = np.array([[-dx, -dy], [dx, -dy], [dx, dy], [-dx, dy]])
+            return (rot @ corners.T).T + (R @ center_local) + p
+
+        rear = rect(np.array([0.0, 0.0]), self.wheel_len,
+                    self.wheel_width, R)
+        front_center = (R @ np.array([self.wheelbase, 0.0])) + p
+        fw = np.array([[-self.wheel_len / 2, -self.wheel_width / 2],
+                       [self.wheel_len / 2, -self.wheel_width / 2],
+                       [self.wheel_len / 2, self.wheel_width / 2],
+                       [-self.wheel_len / 2, self.wheel_width / 2]])
+        front = (Rf @ fw.T).T + front_center
+        frame = np.stack([p, front_center])
+        hb = np.array([[0.0, -self.handlebar_width / 2],
+                       [0.0, self.handlebar_width / 2]])
+        handlebar = (Rf @ hb.T).T + front_center
+        torso = rect(np.array([self.wheelbase * 0.25, 0.0]),
+                     self.torso_len, self.torso_width, R)
+        shoulder_l = (R @ np.array([self.wheelbase * 0.25 + self.torso_len
+                                    / 2, self.torso_width / 2])) + p
+        shoulder_r = (R @ np.array([self.wheelbase * 0.25 + self.torso_len
+                                    / 2, -self.torso_width / 2])) + p
+        arms = np.stack([handlebar[1], shoulder_l, shoulder_r,
+                         handlebar[0]])
+        head_center = (R @ np.array([self.wheelbase * 0.25
+                                     + self.torso_len / 2, 0.0])) + p
+        return {"rear_wheel": rear, "front_wheel": front, "frame": frame,
+                "handlebar": handlebar, "torso": torso, "arms": arms,
+                "head_center": head_center}
+
+    def draw(self, ax, x, y, psi, delta, roll=0.0, color="C0"):
+        """Draw one bike; returns the created artists."""
+        import matplotlib.patches as mpatches
+
+        kp = self.keypoints(x, y, psi, delta)
+        warn = abs(roll) > self.roll_warn
+        body_color = "red" if warn else color
+        artists = []
+        for name in ("rear_wheel", "front_wheel"):
+            artists.append(ax.add_patch(mpatches.Polygon(
+                kp[name], closed=True, facecolor="black")))
+        artists += ax.plot(kp["frame"][:, 0], kp["frame"][:, 1],
+                           color=body_color, linewidth=2)
+        artists += ax.plot(kp["handlebar"][:, 0], kp["handlebar"][:, 1],
+                           color=body_color, linewidth=2)
+        artists.append(ax.add_patch(mpatches.Polygon(
+            kp["torso"], closed=True, facecolor=body_color, alpha=0.8)))
+        artists += ax.plot(kp["arms"][:, 0], kp["arms"][:, 1],
+                           color=body_color, linewidth=1.5)
+        artists.append(ax.add_patch(mpatches.Circle(
+            kp["head_center"], self.head_radius, facecolor=body_color)))
+        # roll indicator bubble (reference roll indicator,
+        # vizualisation.py:696-863): offset scales with roll
+        off = np.array([-np.sin(psi), np.cos(psi)]) * roll * 0.5
+        artists.append(ax.add_patch(mpatches.Circle(
+            np.array([x, y]) + off, 0.06,
+            facecolor="red" if warn else "white", edgecolor="black")))
+        return artists
+
+
+@dataclass
+class CarDrawing2D:
+    """Rotated-rectangle car (reference vizualisation.py:432-561)."""
+
+    length: float = 4.0
+    width: float = 2.0
+
+    def draw(self, ax, x, y, psi, color="C3"):
+        import matplotlib.patches as mpatches
+
+        R = _rot(psi)
+        dx, dy = self.length / 2, self.width / 2
+        corners = np.array([[-dx, -dy], [dx, -dy], [dx, dy], [-dx, dy]])
+        poly = (R @ corners.T).T + np.array([x, y])
+        return [ax.add_patch(mpatches.Polygon(poly, closed=True,
+                                              facecolor=color, alpha=0.8))]
+
+
+class SceneDrawing:
+    """Population renderer: bikes/cars, trails, destinations, force arrows
+    (the reference's per-vehicle VehicleDrawing, vectorized)."""
+
+    def __init__(self, ax=None, trail_len=300, draw_forces=False,
+                 car_mask=None, labels=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        self.ax = ax
+        self.trail_len = trail_len
+        self.draw_forces = draw_forces
+        self.car_mask = car_mask
+        self.labels = labels
+        self.bike = BicycleDrawing2D()
+        self.car = CarDrawing2D()
+        self._artists = []
+        self._trails = None
+
+    def _clear(self):
+        for a in self._artists:
+            a.remove()
+        self._artists = []
+
+    def render(self, state, forces=None, traj_history=None):
+        """Redraw the scene from an AgentState (host copies).
+
+        forces: optional (fx, fy) arrays for force arrows.
+        traj_history: optional [T, N, >=2] for trails.
+        """
+        s = np.asarray(state.s)
+        dest = np.asarray(state.dest)
+        n = s.shape[0]
+        self._clear()
+        for a in range(n):
+            color = f"C{a % 10}"
+            is_car = bool(self.car_mask[a]) if self.car_mask is not None \
+                else False
+            if is_car:
+                self._artists += self.car.draw(self.ax, s[a, 0], s[a, 1],
+                                               s[a, 2], color=color)
+            else:
+                self._artists += self.bike.draw(
+                    self.ax, s[a, 0], s[a, 1], s[a, 2], s[a, 4],
+                    roll=s[a, 5], color=color)
+            # destination marker + line (reference vizualisation.py:25-430)
+            self._artists += self.ax.plot(
+                [s[a, 0], dest[a, 0]], [s[a, 1], dest[a, 1]],
+                color=color, linestyle=":", linewidth=0.8, alpha=0.6)
+            self._artists += self.ax.plot(
+                dest[a, 0], dest[a, 1], marker="x", color=color)
+            if self.labels is not None:
+                self._artists.append(self.ax.annotate(
+                    self.labels[a], (s[a, 0], s[a, 1]),
+                    textcoords="offset points", xytext=(6, 6),
+                    fontsize=8, color=color))
+            if traj_history is not None:
+                t = np.asarray(traj_history)[-self.trail_len:, a]
+                self._artists += self.ax.plot(
+                    t[:, 0], t[:, 1], color=color, linewidth=1.0,
+                    alpha=0.5)
+            if self.draw_forces and forces is not None:
+                fx, fy = forces
+                self._artists.append(self.ax.arrow(
+                    s[a, 0], s[a, 1], float(fx[a]), float(fy[a]),
+                    head_width=0.15, color=color, alpha=0.8))
+        return self._artists
+
+
+def animate(scenario, n_steps, interval_ms=20, draw_forces=False,
+            car_mask=None, xlim=None, ylim=None):
+    """Matplotlib animation of a Scenario (reference _run_animated,
+    scenario.py:124-133): advances `scenario.chunk` steps per frame."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    fig, ax = plt.subplots()
+    scene = SceneDrawing(ax, draw_forces=draw_forces, car_mask=car_mask)
+    if xlim:
+        ax.set_xlim(*xlim)
+    if ylim:
+        ax.set_ylim(*ylim)
+    ax.set_aspect("equal")
+    frames = max(1, n_steps // scenario.chunk)
+    history = []
+
+    def frame(_):
+        traj = scenario.step_chunk(record=True)
+        history.append(np.asarray(traj))
+        hist = np.concatenate(history, axis=0)
+        return scene.render(scenario.state, traj_history=hist)
+
+    return FuncAnimation(fig, frame, frames=frames,
+                         interval=interval_ms, blit=False, repeat=False)
+
+
+def write_video(scenario, n_steps, path, fps=30, dpi=100, car_mask=None,
+                xlim=None, ylim=None):
+    """Render a run to mp4 via OpenCV frame assembly (reference
+    _run_animated_writeout + _assemble_animation_video,
+    scenario.py:135-159, 198-223)."""
+    import cv2
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8), dpi=dpi)
+    scene = SceneDrawing(ax, car_mask=car_mask)
+    if xlim:
+        ax.set_xlim(*xlim)
+    if ylim:
+        ax.set_ylim(*ylim)
+    ax.set_aspect("equal")
+    writer = None
+    history = []
+    done = 0
+    while done < n_steps:
+        n = min(scenario.chunk, n_steps - done)
+        traj = scenario.step_chunk(n, record=True)
+        history.append(np.asarray(traj))
+        done += n
+        hist = np.concatenate(history, axis=0)
+        scene.render(scenario.state, traj_history=hist)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+        frame = cv2.cvtColor(buf, cv2.COLOR_RGB2BGR)
+        if writer is None:
+            writer = cv2.VideoWriter(
+                str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                (frame.shape[1], frame.shape[0]))
+        writer.write(frame)
+    if writer is not None:
+        writer.release()
+    plt.close(fig)
+    return path
+
+
+def plot_states(traj, agent=0, states=(0, 1, 2, 3, 4, 5), axes=None):
+    """State time series of one agent from a recorded [T, N, 8] trajectory
+    (reference Vehicle.plot_states, vehicle.py:734-860)."""
+    import matplotlib.pyplot as plt
+
+    traj = np.asarray(traj)
+    if axes is None:
+        _, axes = plt.subplots(len(states), 1, sharex=True)
+    for ax, k in zip(np.atleast_1d(axes), states):
+        ax.plot(traj[:, agent, k])
+        ax.set_ylabel(STATE_LABELS[k])
+    np.atleast_1d(axes)[-1].set_xlabel("step")
+    return axes
+
+
+def plot_forces(fx, fy, agent=0, axes=None):
+    """Force time series (reference Vehicle.plot_forces,
+    vehicle.py:862-917)."""
+    import matplotlib.pyplot as plt
+
+    fx, fy = np.asarray(fx), np.asarray(fy)
+    if axes is None:
+        _, axes = plt.subplots(2, 1, sharex=True)
+    axes[0].plot(fx[:, agent])
+    axes[0].set_ylabel("Fx (desired vx) [m/s]")
+    axes[1].plot(fy[:, agent])
+    axes[1].set_ylabel("Fy (desired vy) [m/s]")
+    axes[1].set_xlabel("step")
+    return axes

@@ -1,0 +1,110 @@
+"""Visualization smoke tests (headless Agg): drawings render, video writes."""
+
+import os
+import tempfile
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def _scenario(chunk=20):
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import BicycleParams, as_population
+    from cyclistsocialforce_tpu.scenario import Scenario
+    from cyclistsocialforce_tpu.state import set_destinations
+
+    s0 = np.array([[-6.0, 0, 0, 5, 0], [15.0, -20, np.pi / 2, 5, 0]])
+    st = make_state(s0, dtype=np.float64)
+    st = set_destinations(st, 0, (35,), (0,))
+    st = set_destinations(st, 1, (15,), (20,))
+    p = as_population(BicycleParams.create(), 2)
+    model = MODELS["bicycle2d"]
+    st = prepare(model, p, st)
+    return Scenario(Engine.create(p, model), st, chunk=chunk)
+
+
+def test_bike_drawing_keypoints_pose():
+    from cyclistsocialforce_tpu.viz import BicycleDrawing2D
+
+    d = BicycleDrawing2D()
+    kp = d.keypoints(2.0, 3.0, np.pi / 2, 0.3)
+    # front wheel center sits one wheelbase ahead along psi
+    fc = kp["front_wheel"].mean(axis=0)
+    np.testing.assert_allclose(fc, [2.0, 3.0 + d.wheelbase], atol=1e-9)
+    # handlebar rotated by psi + delta relative to front center
+    hb = kp["handlebar"]
+    v = hb[1] - hb[0]
+    ang = np.arctan2(v[1], v[0])
+    np.testing.assert_allclose(ang % np.pi,
+                               (np.pi / 2 + 0.3 + np.pi / 2) % np.pi,
+                               atol=1e-9)
+
+
+def test_scene_render_and_roll_warning():
+    from cyclistsocialforce_tpu.viz import BicycleDrawing2D, SceneDrawing
+
+    sc = _scenario()
+    _, ax = plt.subplots()
+    scene = SceneDrawing(ax, labels=["a", "b"])
+    artists = scene.render(sc.state)
+    assert len(artists) > 10
+    # roll warning path executes
+    d = BicycleDrawing2D()
+    arts = d.draw(ax, 0, 0, 0.0, 0.0, roll=1.0)
+    assert len(arts) > 0
+    plt.close("all")
+
+
+def test_car_drawing():
+    from cyclistsocialforce_tpu.viz import CarDrawing2D
+
+    _, ax = plt.subplots()
+    arts = CarDrawing2D().draw(ax, 1.0, 2.0, 0.5)
+    assert len(arts) == 1
+    plt.close("all")
+
+
+def test_plot_states_and_forces():
+    import jax
+
+    from cyclistsocialforce_tpu.viz import plot_forces, plot_states
+
+    sc = _scenario()
+    final, out = jax.jit(
+        lambda e, s: e.simulate(s, 50, record_forces=True))(sc.engine,
+                                                            sc.state)
+    traj, fx, fy = (np.asarray(a) for a in out)
+    plot_states(traj, agent=0)
+    plot_forces(fx, fy, agent=1)
+    plt.close("all")
+
+
+def test_write_video():
+    from cyclistsocialforce_tpu.viz import write_video
+
+    sc = _scenario(chunk=25)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "run.mp4")
+        write_video(sc, 50, path, fps=10, dpi=60,
+                    xlim=(-10, 40), ylim=(-25, 25))
+        assert os.path.exists(path)
+        assert os.path.getsize(path) > 1000
+    plt.close("all")
+
+
+def test_animate_steps_scenario():
+    from cyclistsocialforce_tpu.viz import animate
+
+    sc = _scenario(chunk=10)
+    anim = animate(sc, 30, xlim=(-10, 40), ylim=(-25, 25))
+    # draw all frames headlessly
+    anim._init_draw()
+    for f in range(3):
+        anim._draw_frame(f)
+    assert sc.i == 40   # 1 init frame + 3 frames x 10 steps
+    plt.close("all")
