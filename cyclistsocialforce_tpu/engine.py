@@ -249,7 +249,7 @@ def dest_force_spline(params, state: AgentState):
 # Every repulsive field is expressed as a TILE function
 #   rep_tile(params, src, recv) -> (Fx, Fy) shaped [S, R]
 # with src = (x, y, psi, v) of the emitting agents ([S] each, carrying the
-# force-field parameters) and recv = (x, y, psi) of the receiving agents
+# force-field parameters) and recv = (x, y, psi, v) of the receiving agents
 # ([R] each). The same tile serves the dense [N, N] case (small N), the
 # receiver-chunked case (large N, bounded memory), and the shard_map case
 # (sources all-gathered across devices, receivers local).
@@ -267,7 +267,7 @@ def rep_tile_twod(params, src, recv):
     by source i at receiver j's position. Heading trig is hoisted to the
     [S]/[R] axes so the [S, R] inner loop is trig-free."""
     xs, ys, psis, _ = src
-    xr, yr, psir = recv
+    xr, yr, psir = recv[0], recv[1], recv[2]
     n = xs.shape[0]
     dx = xr[None, :] - xs[:, None]
     dy = yr[None, :] - ys[:, None]
@@ -284,7 +284,7 @@ def rep_tile_legacy(params, src, recv):
     """Tile of the legacy v0.1 elliptic field; the speed-dependent
     excentricity terms are hoisted to the source axis."""
     xs, ys, psis, vs = src
-    xr, yr, _ = recv
+    xr, yr = recv[0], recv[1]
     n = xs.shape[0]
     dx = xr[None, :] - xs[:, None]
     dy = yr[None, :] - ys[:, None]
@@ -365,6 +365,16 @@ class Engine(struct.PyTreeNode):
     rep_force: Callable | None = struct.field(pytree_node=False,
                                               default=rep_tile_twod)
     priority_p2r: bool = struct.field(pytree_node=False, default=False)
+    # Extension hooks for external force models (the reference's
+    # strategy-injection API, vehicle.py:111-135, external.py): how
+    # pairwise force channels reduce over sources (default: masked sum,
+    # intersection.py:822-838) and how the reduced repulsion combines with
+    # the destination force (default: magnitude clamp + add,
+    # intersection.py:841-848).
+    rep_reduce: Callable | None = struct.field(pytree_node=False,
+                                               default=None)
+    combine_forces: Callable | None = struct.field(pytree_node=False,
+                                                   default=None)
     # Receiver-axis chunk size for the O(N^2) force assembly. None = dense
     # [N, N] (fastest for small N); an int C bounds peak memory to O(N*C)
     # by lax.map-ing over N/C receiver tiles (required for N ~ 100k).
@@ -373,23 +383,27 @@ class Engine(struct.PyTreeNode):
     @classmethod
     def create(cls, params, model, road=None, dest_force=None,
                rep_force=None, priority_rule: str = "unregulated",
-               rep_chunk: int | None = None, scripted=None):
+               rep_chunk: int | None = None, scripted=None,
+               rep_reduce=None, combine_forces=None):
         """Build an engine from a model module (see models/ registry).
 
-        `model` provides `step` and default `DEST_FORCE` / `REP_FORCE` names
-        (the reference's strategy-injection API, vehicle.py:111-135).
+        `model` provides `step` and default `DEST_FORCE` / `REP_FORCE`
+        (registry names or callables -- the reference's strategy-injection
+        API, vehicle.py:111-135, external.py).
         """
-        dest = dest_force or DEST_FORCES[model.DEST_FORCE]
+        dest = dest_force if dest_force is not None else model.DEST_FORCE
         if isinstance(dest, str):
             dest = DEST_FORCES[dest]
-        rep = rep_force if rep_force is not None else REP_FORCES[
-            model.REP_FORCE]
+        rep = rep_force if rep_force is not None else model.REP_FORCE
         if isinstance(rep, str):
             rep = REP_FORCES[rep]
+        rep_reduce = rep_reduce or getattr(model, "REP_REDUCE", None)
+        combine = combine_forces or getattr(model, "COMBINE_FORCES", None)
         return cls(params=params, road=road, scripted=scripted,
                    model_step=model.step, dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),
-                   rep_chunk=rep_chunk)
+                   rep_chunk=rep_chunk, rep_reduce=rep_reduce,
+                   combine_forces=combine)
 
     # ---- one simulation step ----
 
@@ -415,13 +429,15 @@ class Engine(struct.PyTreeNode):
         xs, ys, _, _ = src
 
         def recv_tile(ri):
-            recv = (state.s[ri, X], state.s[ri, Y], state.s[ri, PSI])
+            recv = (state.s[ri, X], state.s[ri, Y], state.s[ri, PSI],
+                    state.s[ri, V])
             fpx, fpy = self.rep_force(self.params, src, recv)
             untracked = F.untracked_foes_tile(
                 xs, ys, idx_src, active_src, hfov_src,
                 recv[0], recv[1], recv[2], ri + recv_offset,
                 state.active[ri], priority_p2r=self.priority_p2r)
-            return F.sum_sources(fpx, fpy, ~untracked)
+            reduce = self.rep_reduce or F.sum_sources
+            return reduce(fpx, fpy, ~untracked)
 
         idx_recv = jnp.arange(n)
         if self.rep_chunk is None or self.rep_chunk >= n:
@@ -446,7 +462,8 @@ class Engine(struct.PyTreeNode):
 
         if self.rep_force is not None and state.n > 1:
             frx, fry = self.repulsive_sum(state)
-            fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
+            combine = self.combine_forces or F.clamp_add_dest
+            fx, fy = combine(frx, fry, fdx, fdy)
         else:
             fx, fy = fdx, fdy
 
