@@ -1,0 +1,164 @@
+"""SUMO co-simulation bridge: hermetic tests against FakeTraCI.
+
+The reference's co-sim is only exercisable with a live SUMO process
+(SURVEY.md section 4 gap); here the whole handover pipeline -- internal-
+lane occupancy diffing, state pull, route-spline destinations, engine
+stepping, bulk moveToXY push, exit mapping -- runs in-process."""
+
+import numpy as np
+import pytest
+
+from cyclistsocialforce_tpu.sumo import (FakeTraCI, SumoCoSimulation,
+                                         SumoNetwork)
+
+# minimal 3-leg junction: west->east and south->east routes with internal
+# lanes (the structure of demo/config/demoCSFxSUMO.net.xml)
+NET_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<net version="1.16">
+  <edge id=":J_0" function="internal">
+    <lane id=":J_0_0" index="0" speed="10" length="16"
+          shape="-8.00,0.00 8.00,0.00"/>
+  </edge>
+  <edge id=":J_1" function="internal">
+    <lane id=":J_1_0" index="0" speed="8" length="13.5"
+          shape="0.00,-8.00 1.00,-4.00 4.00,-1.00 8.00,0.00"/>
+  </edge>
+  <edge id="EW" from="JW" to="J" priority="1">
+    <lane id="EW_0" index="0" speed="13.89" length="42"
+          shape="-50.00,0.00 -8.00,0.00"/>
+  </edge>
+  <edge id="ES" from="JS" to="J" priority="1">
+    <lane id="ES_0" index="0" speed="13.89" length="42"
+          shape="0.00,-50.00 0.00,-8.00"/>
+  </edge>
+  <edge id="EE" from="J" to="JE" priority="1">
+    <lane id="EE_0" index="0" speed="13.89" length="42"
+          shape="8.00,0.00 50.00,0.00"/>
+  </edge>
+  <junction id="J" type="priority" x="0.00" y="0.00"
+            incLanes="EW_0 ES_0" intLanes=":J_0_0 :J_1_0"
+            shape="-8,2 8,2 8,-2 -8,-2"/>
+  <junction id="JW" type="dead_end" x="-50" y="0" incLanes="" intLanes=""/>
+  <junction id="JS" type="dead_end" x="0" y="-50" incLanes="" intLanes=""/>
+  <junction id="JE" type="dead_end" x="50" y="0" incLanes="EE_0"
+            intLanes=""/>
+  <connection from="EW" to="EE" fromLane="0" toLane="0" via=":J_0_0"/>
+  <connection from="ES" to="EE" fromLane="0" toLane="0" via=":J_1_0"/>
+</net>
+"""
+
+
+@pytest.fixture
+def net():
+    return SumoNetwork.parse(NET_XML)
+
+
+def test_net_parsing(net):
+    assert set(net.junctions) == {"J", "JW", "JS", "JE"}
+    assert [j.id for j in net.non_dead_end_junctions()] == ["J"]
+    assert net.internal_lane_ids("J") == [":J_0_0", ":J_1_0"]
+    assert [e.id for e in net.incoming_edges("J")] == ["EW", "ES"]
+    assert [e.id for e in net.outgoing_edges("J")] == ["EE"]
+    assert net.via_lane("EW", "EE") == ":J_0_0"
+    ends = net.lane_end_points(net.edges["EW"], incoming=True)
+    assert len(ends) == 1
+    # incoming endpoints approach the junction from the west
+    assert ends[0][0][-1] == pytest.approx(-8.0, abs=0.5)
+
+
+def test_reference_demo_net_parses():
+    """The parser handles the reference's shipped demo network."""
+    import os
+
+    path = "/root/reference/demo/config/demoCSFxSUMO.net.xml"
+    if not os.path.exists(path):
+        pytest.skip("reference demo net unavailable")
+    net = SumoNetwork.parse(path)
+    live = net.non_dead_end_junctions()
+    assert [j.id for j in live] == ["J27"]
+    assert len(net.internal_lane_ids("J27")) == 12
+    assert len(net.incoming_edges("J27")) == 3
+    assert len(net.outgoing_edges("J27")) == 3
+
+
+def test_fake_traci_moves_vehicles(net):
+    t = FakeTraCI(net, step_length=0.1)
+    t.add_vehicle("b0", ("EW", "EE"), speed=4.0)
+    assert t.simulation.getMinExpectedNumber() == 1
+    x0 = t.vehicle.getPosition("b0")[0]
+    for _ in range(10):
+        t.simulationStep()
+    x1 = t.vehicle.getPosition("b0")[0]
+    assert x1 == pytest.approx(x0 + 4.0, abs=1e-6)
+    assert t.vehicle.getAngle("b0") == pytest.approx(90.0)  # east in SUMO
+    # runs to completion and despawns
+    for _ in range(400):
+        t.simulationStep()
+    assert t.simulation.getMinExpectedNumber() == 0
+
+
+def test_fake_traci_internal_lane_occupancy(net):
+    t = FakeTraCI(net, step_length=0.1)
+    t.add_vehicle("b0", ("EW", "EE"), speed=4.0, depart_pos=41.9)
+    t.simulationStep()
+    assert t.lane.getLastStepVehicleIDs(":J_0_0") == ("b0",)
+
+
+def test_cosimulation_handover_roundtrip(net):
+    """A bike is handed to the social-force engine on the junction and
+    back to SUMO on exit; it finishes its route."""
+    t = FakeTraCI(net, step_length=0.01)
+    t.add_vehicle("b0", ("EW", "EE"), speed=4.0, depart_pos=40.0)
+    cosim = SumoCoSimulation(net, t, bicycle_type="bicycle", capacity=4)
+    ins = cosim.intersections[0]
+
+    entered = False
+    positions = []
+    for _ in range(3000):
+        if t.simulation.getMinExpectedNumber() == 0:
+            break
+        cosim.step()
+        if ins.road_user_ids():
+            entered = True
+            s = np.asarray(ins.state.s)
+            positions.append(s[ins._slots["b0"], :2].copy())
+    assert entered, "bike never handed over to the social-force engine"
+    assert t.simulation.getMinExpectedNumber() == 0, \
+        "bike never finished its route"
+    assert not ins.road_user_ids(), "bike not removed after exit"
+    positions = np.array(positions)
+    # while on the intersection the bike crossed from x~-8 to x~+8
+    assert positions[0, 0] < -5
+    assert positions[-1, 0] > 5
+    # motion is continuous (no teleports)
+    steps = np.linalg.norm(np.diff(positions, axis=0), axis=1)
+    assert steps.max() < 0.2
+
+
+def test_cosimulation_two_routes_interact(net):
+    """Two bikes on crossing routes meet on the junction; both finish and
+    the repulsive interaction perturbs the straight-through rider."""
+    def run(two):
+        t = FakeTraCI(net, step_length=0.01)
+        t.add_vehicle("b0", ("EW", "EE"), speed=4.0, depart_pos=38.0)
+        if two:
+            t.add_vehicle("b1", ("ES", "EE"), speed=4.0, depart_pos=38.0)
+        cosim = SumoCoSimulation(net, t, bicycle_type="bicycle",
+                                 capacity=4)
+        ins = cosim.intersections[0]
+        ys = []
+        for _ in range(4000):
+            if t.simulation.getMinExpectedNumber() == 0:
+                break
+            cosim.step()
+            if "b0" in ins._slots:
+                ys.append(float(np.asarray(
+                    ins.state.s)[ins._slots["b0"], 1]))
+        assert t.simulation.getMinExpectedNumber() == 0
+        return np.array(ys)
+
+    solo = run(False)
+    both = run(True)
+    assert len(solo) > 10 and len(both) > 10
+    # the crossing rider pushes b0 off the centerline
+    assert np.max(np.abs(both)) > np.max(np.abs(solo)) + 1e-4
