@@ -532,6 +532,49 @@ class PoleModel:
         return poles, labels
 
 
+def fit_pole_model(raw_features, feature_set,
+                   range_components=(1, 5),
+                   covariance_types=("full", "tied", "diag", "spherical"),
+                   k_crossval=10, n_init=20, log_transform=True,
+                   normalize=True, seed=0, verbose=False) -> PoleModel:
+    """Fit a pole model from raw pole-feature data [n, F].
+
+    The reference's full fitting pipeline (PoleModel.fit_optimize +
+    PreprocessingPipeline.fit_transform, controlbehavior.py:884-914,
+    1273-1334): fit the log-shift / Yeo-Johnson / scaler preprocessing,
+    then grid-search a (conditional-capable) GMM over n_components x
+    covariance_type with k-fold CV -- here EM runs as a vmapped restart
+    batch in JAX (see gmm_fit).
+    """
+    from cyclistsocialforce_tpu import gmm_fit
+
+    features, _ = PREDEFINED_FEATURE_SETS[feature_set]
+    X = np.asarray(raw_features, dtype=float)
+    if X.shape[1] != len(features):
+        raise ValueError(
+            f"feature_set {feature_set} expects {len(features)} columns "
+            f"({features}), got {X.shape[1]}")
+    pre = Preprocessing(n_features=X.shape[1])
+    Xt = pre.fit(X, features, log_transform=log_transform,
+                 normalize=normalize)
+    gmm, info = gmm_fit.fit_optimize(
+        Xt, range_components=range_components,
+        covariance_types=covariance_types, k_crossval=k_crossval,
+        n_init=n_init, seed=seed, verbose=verbose)
+    meta = {"presets": {"feature_set": feature_set,
+                        "features": list(features),
+                        "gridsearch_selection_metric": "NLL",
+                        "n_gmm_inits": n_init,
+                        "riderbike_model": None},
+            "scores": {"scores_val": info["scores_val"],
+                       "scores_test": info["scores_train"],
+                       "n_samples_train": int(X.shape[0]),
+                       "n_samples_test": 0,
+                       "k_crossval": k_crossval}}
+    return PoleModel(feature_set=feature_set, gmm=gmm, preprocessing=pre,
+                     metadata=meta)
+
+
 def load_packaged_polemodel(filename) -> PoleModel:
     """Load one of the pole models shipped with the package (the fitted
     models of the reference, see data/balancingriderparams/README.md)."""
