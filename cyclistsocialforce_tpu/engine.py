@@ -216,8 +216,13 @@ def dest_force_spline(params, state: AgentState):
 
         # ---- branch selection (precedence: step-0, arrived, fallback,
         # spline); the unselected spline branch may contain NaN from
-        # degenerate support points -- jnp.where drops it.
-        use_fb = (ipred >= SPL_N_PNTS) & ~znav1[2] & (i > 0)
+        # degenerate support points -- jnp.where drops it. A NON-FINITE
+        # spline force (duplicate support points, e.g. a single-destination
+        # agent in its first steps, where the reference CRASHES in FITPACK,
+        # vehicle.py:1495-1507) also falls back to the straight-line force.
+        use_fb = (((ipred >= SPL_N_PNTS)
+                   | ~jnp.all(jnp.isfinite(f_spl)))
+                  & ~znav1[2] & (i > 0))
         fx = jnp.where(i == 0, vd1 * jnp.cos(s[PSI]),
                        jnp.where(znav1[2], 0.0,
                                  jnp.where(use_fb, fb_x, f_spl[0])))
