@@ -317,6 +317,35 @@ REP_FORCES: dict[str, Callable] = {
 }
 
 
+class NeighborConfig:
+    """Static configuration of the block-sparse neighbor force path.
+
+    cutoff : interaction radius [m]. The BMD2023 field decays as
+        exp(-rho/sigma) with sigma <= sigma_0 + sigma_1 (~5.5 m by
+        default), so cutoff = 60 m bounds the dropped force below 1e-4 --
+        the framework's own force parity tolerance.
+    block : agents per tile (multiple of 8; lanes want multiples of 128).
+    kb : max neighbor blocks per receiver block (capacity; overflow drops
+        the farthest blocks).
+    backend : "pallas" (TPU kernel), "xla" (gather fallback), or
+        "interpret" (Pallas interpreter, for CPU tests).
+    """
+
+    def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas"):
+        self.cutoff = float(cutoff)
+        self.block = int(block)
+        self.kb = int(kb)
+        self.backend = backend
+
+    def __hash__(self):
+        return hash((self.cutoff, self.block, self.kb, self.backend))
+
+    def __eq__(self, other):
+        return (isinstance(other, NeighborConfig)
+                and (self.cutoff, self.block, self.kb, self.backend)
+                == (other.cutoff, other.block, other.kb, other.backend))
+
+
 class RoadElements(struct.PyTreeNode):
     """Stacked road-edge geometry: padded vertex array + validity weights."""
 
@@ -384,12 +413,17 @@ class Engine(struct.PyTreeNode):
     # [N, N] (fastest for small N); an int C bounds peak memory to O(N*C)
     # by lax.map-ing over N/C receiver tiles (required for N ~ 100k).
     rep_chunk: int | None = struct.field(pytree_node=False, default=None)
+    # Block-sparse neighbor culling (NeighborConfig). When set, the
+    # pairwise stage cell-sorts the population and evaluates only tiles of
+    # blocks within the cutoff (Pallas kernel on TPU) -- O(N * density)
+    # instead of O(N^2). Only the "twod" force family is supported.
+    neighbors: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, params, model, road=None, dest_force=None,
                rep_force=None, priority_rule: str = "unregulated",
                rep_chunk: int | None = None, scripted=None,
-               rep_reduce=None, combine_forces=None):
+               rep_reduce=None, combine_forces=None, neighbors=None):
         """Build an engine from a model module (see models/ registry).
 
         `model` provides `step` and default `DEST_FORCE` / `REP_FORCE`
@@ -404,11 +438,14 @@ class Engine(struct.PyTreeNode):
             rep = REP_FORCES[rep]
         rep_reduce = rep_reduce or getattr(model, "REP_REDUCE", None)
         combine = combine_forces or getattr(model, "COMBINE_FORCES", None)
+        if neighbors is not None and rep is not rep_tile_twod:
+            raise ValueError("neighbor culling supports the 'twod' force "
+                             "family only")
         return cls(params=params, road=road, scripted=scripted,
                    model_step=model.step, dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),
                    rep_chunk=rep_chunk, rep_reduce=rep_reduce,
-                   combine_forces=combine)
+                   combine_forces=combine, neighbors=neighbors)
 
     # ---- one simulation step ----
 
@@ -453,6 +490,66 @@ class Engine(struct.PyTreeNode):
         frx, fry = jax.lax.map(recv_tile, idx_recv.reshape(n // c, c))
         return frx.reshape(n), fry.reshape(n)
 
+    def repulsive_sum_neighbors(self, state: AgentState):
+        """Block-sparse culled pairwise forces (cell sort + neighbor-block
+        table + Pallas tile kernel; see ops.neighbors/ops.pallas_forces).
+        """
+        from cyclistsocialforce_tpu.ops import neighbors as NB
+        from cyclistsocialforce_tpu.ops import pallas_forces as PF
+
+        cfg = self.neighbors
+        n = state.n
+        blk = cfg.block
+        npad = ((n + blk - 1) // blk) * blk
+        dtype = state.s.dtype
+
+        def b(field):
+            return jnp.broadcast_to(
+                jnp.asarray(getattr(self.params, field), dtype=dtype), (n,))
+
+        x, y = state.s[:, X], state.s[:, Y]
+        cpsi, spsi = jnp.cos(state.s[:, PSI]), jnp.sin(state.s[:, PSI])
+        act = state.active.astype(dtype)
+        src_cols = [x, y, cpsi, spsi, b("f_0"), b("e_0"), b("e_1"),
+                    b("sigma_0"), b("sigma_1"), b("sigma_2"), b("sigma_3"),
+                    jnp.cos(b("hfov") / 2), act]
+        src_pack = jnp.stack(
+            src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS
+                                                   - len(src_cols)), axis=1)
+        recv_rows = [x, y, cpsi, spsi, act]
+        recv_pack = jnp.stack(
+            recv_rows + [jnp.zeros((n,), dtype)] * (PF.RECV_ROWS
+                                                    - len(recv_rows)),
+            axis=0)
+        if npad != n:
+            # inactive padding agents parked at the domain corner
+            pad = npad - n
+            src_pad = jnp.zeros((pad, PF.SRC_COLS), dtype)
+            src_pad = src_pad.at[:, 0].set(x[0]).at[:, 1].set(y[0])
+            src_pack = jnp.concatenate([src_pack, src_pad], axis=0)
+            recv_pad = jnp.zeros((PF.RECV_ROWS, pad), dtype)
+            recv_pad = recv_pad.at[0].set(x[0]).at[1].set(y[0])
+            recv_pack = jnp.concatenate([recv_pack, recv_pad], axis=1)
+
+        perm, nbr, valid, _ = NB.build(
+            src_pack[:, 0], src_pack[:, 1], cfg.cutoff, blk, cfg.kb)
+        src_sorted = src_pack[perm]
+        recv_sorted = recv_pack[:, perm]
+
+        f32 = lambda a: a.astype(jnp.float32)
+        if cfg.backend == "xla":
+            out = PF.pair_forces_neighbors_xla(
+                nbr, valid, src_sorted, recv_sorted, block=blk,
+                priority_p2r=self.priority_p2r)
+        else:
+            out = PF.pair_forces_neighbors(
+                nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+                priority_p2r=self.priority_p2r,
+                interpret=(cfg.backend == "interpret")).astype(dtype)
+        fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
+        fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
+        return fx, fy
+
     def calc_forces(self, state: AgentState):
         """Total social force per agent; returns (fx, fy, state) where
         `state` carries the navigation-FSM updates done by the destination
@@ -466,7 +563,10 @@ class Engine(struct.PyTreeNode):
             fdy = jnp.where(self.scripted.mask, 0.0, fdy)
 
         if self.rep_force is not None and state.n > 1:
-            frx, fry = self.repulsive_sum(state)
+            if self.neighbors is not None:
+                frx, fry = self.repulsive_sum_neighbors(state)
+            else:
+                frx, fry = self.repulsive_sum(state)
             combine = self.combine_forces or F.clamp_add_dest
             fx, fy = combine(frx, fry, fdx, fdy)
         else:

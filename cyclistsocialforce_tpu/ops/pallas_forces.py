@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for the pairwise social-force hot loop.
+
+The O(N^2) repulsive-force stage reduced to block-sparse tiles: agents are
+cell-sorted and blocked (ops.neighbors); this kernel walks the fixed-width
+neighbor-block table with a (B, KB) grid, scalar-prefetching the source
+BLOCK INDEX for each step so the BlockSpec index_map streams exactly the
+needed [T, C] source tile from HBM into VMEM -- no per-agent gathers, no
+dense [N, N] materialization. Per grid step it evaluates one [T, T] tile
+of the BMD2023 anisotropic force field (ops.forces.rep_force_twod_pair
+math: trig-free, only sqrt/exp on the VPU), applies the FOV / self /
+active mask (ops.forces.untracked_foes_tile semantics), and accumulates
+the source-sum into the [2, T] per-receiver output block, which Pallas
+keeps resident in VMEM across the inner KB grid dimension.
+
+Packing layout (built by engine helpers):
+  src_pack [N, 16]: x, y, cos psi, sin psi, f_0, e_0, e_1, sigma_0..3,
+                    cos(hfov/2), active (13 used, padded to 16 lanes)
+  recv_pack [8, N]: x, y, cos psi, sin psi, active (5 used, padded)
+Both are in CELL-SORTED order; outputs are [2, N] sorted forces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SRC_COLS = 16
+RECV_ROWS = 8
+
+# src_pack column layout
+_SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT = \
+    range(13)
+
+
+def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
+                 *, block: int, priority_p2r: bool):
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(valid_ref[b, k] == 1)
+    def _accumulate():
+        # source fields as [T, 1] sublane vectors
+        def sc(c):
+            return src_ref[:, c:c + 1]
+
+        # receiver fields as [1, T] lane vectors
+        xr = recv_ref[0:1, :]
+        yr = recv_ref[1:2, :]
+        cr = recv_ref[2:3, :]
+        sr = recv_ref[3:4, :]
+        act_r = recv_ref[4:5, :]
+
+        xs, ys, cs, ss = sc(_SX), sc(_SY), sc(_SC), sc(_SS)
+        dx = xr - xs
+        dy = yr - ys
+        rho2 = dx * dx + dy * dy
+        rho = jnp.sqrt(rho2)
+        safe = jnp.where(rho > 0, rho, 1.0)
+        inv_rho = 1.0 / safe
+
+        # ---- BMD2023 anisotropic field (forces.rep_force_twod_pair) ----
+        sin_rel = ss * cr - cs * sr
+        sin2 = sin_rel * sin_rel
+        vdecay0 = sc(_S0) + sc(_S1) * sin2
+        vdecay1 = sc(_S2) + sc(_S3) * sin2
+        e = sc(_E0) - sc(_E1) * sin2
+
+        cosphi = jnp.clip((dx * cs + dy * ss) * inv_rho, -1.0, 1.0)
+        sinphi = (dy * cs - dx * ss) * inv_rho
+        sigma = vdecay0 - vdecay1 * jnp.sqrt((1 - cosphi) * 0.5)
+        dsigm = (-vdecay1 * jnp.sqrt((1 + cosphi) * 0.5)
+                 * jnp.sign(sinphi) * 0.5)
+        ec2 = 1 - (e * cosphi) ** 2
+        sq = jnp.sqrt(ec2)
+        inv_sigma = 1.0 / sigma
+        P = sc(_F0) * jnp.exp(-rho * sq * inv_sigma)
+        frho = P * sq * inv_sigma
+        fphi = (-P * (ec2 * dsigm - e * e * sinphi * cosphi * sigma)
+                * (inv_sigma * inv_sigma) / sq)
+        fmag = jnp.sqrt(frho * frho + fphi * fphi)
+        fmag = jnp.where(fmag > 0, fmag, 1.0)
+        scale = P / fmag * inv_rho
+
+        # ---- FOV / self / active mask (forces.untracked_foes_tile) ----
+        # relative azimuth of the SOURCE in the RECEIVER's frame uses the
+        # reversed displacement (source - receiver) = -dx, -dy
+        rho_cos_rel = -(dx * cr + dy * sr)
+        tracked = rho_cos_rel * inv_rho >= sc(_CHF)
+        if priority_p2r:
+            rho_sin_rel = -(dy * cr - dx * sr)
+            tracked &= rho_sin_rel <= 0
+        nblk = nbr_ref[b, k]
+        idx_s = (nblk * block
+                 + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0))
+        idx_r = (b * block
+                 + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
+        tracked &= idx_s != idx_r
+        tracked &= rho > 0.0
+        tracked &= (sc(_SACT) > 0) & (act_r > 0)
+
+        w = jnp.where(tracked, scale, 0.0)
+        fx = jnp.sum(w * (frho * dx - fphi * dy), axis=0, keepdims=True)
+        fy = jnp.sum(w * (frho * dy + fphi * dx), axis=0, keepdims=True)
+        out_ref[0:1, :] += fx
+        out_ref[1:2, :] += fy
+
+
+@functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
+                                             "interpret"))
+def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
+                          priority_p2r: bool = False,
+                          interpret: bool = False):
+    """Block-sparse pairwise force sum.
+
+    nbr, valid : [B, KB] neighbor-block table (ops.neighbors)
+    src_pack   : [N, 16] cell-sorted source fields
+    recv_pack  : [8, N] cell-sorted receiver fields
+    returns    : [2, N] summed (fx, fy) per receiver, sorted order
+    """
+    n = src_pack.shape[0]
+    bcount, kb = nbr.shape
+    assert n == bcount * block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bcount, kb),
+        in_specs=[
+            pl.BlockSpec((block, SRC_COLS),
+                         lambda b, k, nbr_ref, valid_ref:
+                         (nbr_ref[b, k], 0)),
+            pl.BlockSpec((RECV_ROWS, block),
+                         lambda b, k, nbr_ref, valid_ref: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((2, block),
+                               lambda b, k, nbr_ref, valid_ref: (0, b)),
+    )
+    kernel = functools.partial(_pair_kernel, block=block,
+                               priority_p2r=priority_p2r)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, n), src_pack.dtype),
+        interpret=interpret,
+    )(nbr, valid.astype(jnp.int32), src_pack, recv_pack)
+
+
+# --------------------------------------------------------------------------
+# XLA fallback (same neighbor structure, gather-based) -- used on CPU and
+# as the correctness oracle for the kernel
+# --------------------------------------------------------------------------
+
+
+def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
+                              block: int = 128,
+                              priority_p2r: bool = False):
+    """Gather-based evaluation of the identical block-sparse structure."""
+    from cyclistsocialforce_tpu.ops import forces as F
+
+    n = src_pack.shape[0]
+    bcount, kb = nbr.shape
+
+    src_blocks = src_pack.reshape(bcount, block, SRC_COLS)
+    gathered = src_blocks[nbr]            # [B, KB, T, C]
+    src = gathered.reshape(bcount, kb * block, SRC_COLS)
+
+    recv = recv_pack.T.reshape(bcount, block, RECV_ROWS)   # [B, T, 8]
+
+    idx_src = (nbr[:, :, None] * block
+               + jnp.arange(block)[None, None, :]).reshape(bcount, -1)
+    idx_recv = (jnp.arange(bcount)[:, None] * block
+                + jnp.arange(block)[None, :])
+    vmask = jnp.repeat(valid, block, axis=1)               # [B, KB*T]
+
+    def per_block(s, r, isrc, irecv, vm):
+        fpx, fpy = F.rep_force_twod_pair(
+            r[None, :, 0] - s[:, 0:1], r[None, :, 1] - s[:, 1:2],
+            s[:, 2:3], s[:, 3:4], r[None, :, 2], r[None, :, 3],
+            s[:, 4:5], s[:, 5:6], s[:, 6:7], s[:, 7:8], s[:, 8:9],
+            s[:, 9:10], s[:, 10:11])
+        dxs = s[:, 0:1] - r[None, :, 0]
+        dys = s[:, 1:2] - r[None, :, 1]
+        rho = jnp.sqrt(dxs**2 + dys**2)
+        safe = jnp.where(rho > 0, rho, 1.0)
+        cos_rel = (dxs * r[None, :, 2] + dys * r[None, :, 3]) / safe
+        tracked = cos_rel >= s[:, 11:12]
+        if priority_p2r:
+            sin_rel = (dys * r[None, :, 2] - dxs * r[None, :, 3]) / safe
+            tracked &= sin_rel <= 0
+        tracked &= isrc[:, None] != irecv[None, :]
+        tracked &= rho > 0
+        tracked &= (s[:, 12:13] > 0) & (r[None, :, 4] > 0)
+        tracked &= vm[:, None]
+        fx = jnp.sum(jnp.where(tracked, fpx, 0.0), axis=0)
+        fy = jnp.sum(jnp.where(tracked, fpy, 0.0), axis=0)
+        return fx, fy
+
+    fx, fy = jax.vmap(per_block)(src, recv, idx_src, idx_recv, vmask)
+    return jnp.stack([fx.reshape(n), fy.reshape(n)], axis=0)
