@@ -522,10 +522,15 @@ class Engine(struct.PyTreeNode):
                                                     - len(recv_rows)),
             axis=0)
         if npad != n:
-            # inactive padding agents parked at the domain corner
+            # inactive padding agents parked at the domain corner, with
+            # NON-DEGENERATE field params (sigma = 0 rows would divide by
+            # zero inside force tiles even though they are masked)
             pad = npad - n
             src_pad = jnp.zeros((pad, PF.SRC_COLS), dtype)
             src_pad = src_pad.at[:, 0].set(x[0]).at[:, 1].set(y[0])
+            for c in range(4, 11):
+                src_pad = src_pad.at[:, c].set(src_pack[0, c])
+            src_pad = src_pad.at[:, 4].set(0.0)   # f_0 = 0: no force
             src_pack = jnp.concatenate([src_pack, src_pad], axis=0)
             recv_pad = jnp.zeros((PF.RECV_ROWS, pad), dtype)
             recv_pad = recv_pad.at[0].set(x[0]).at[1].set(y[0])

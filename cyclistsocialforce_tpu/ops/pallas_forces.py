@@ -80,7 +80,10 @@ def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
                  * jnp.sign(sinphi) * 0.5)
         ec2 = 1 - (e * cosphi) ** 2
         sq = jnp.sqrt(ec2)
-        inv_sigma = 1.0 / sigma
+        # degenerate sources (zeroed padding rows: sigma == 0) must not
+        # poison the tile -- 0 * inf = NaN survives multiplicative
+        # masking, so guard the division and `where`-select contributions
+        inv_sigma = 1.0 / jnp.where(sigma > 0, sigma, 1.0)
         P = sc(_F0) * jnp.exp(-rho * sq * inv_sigma)
         frho = P * sq * inv_sigma
         fphi = (-P * (ec2 * dsigm - e * e * sinphi * cosphi * sigma)
@@ -105,10 +108,12 @@ def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
         tracked &= idx_s != idx_r
         tracked &= rho > 0.0
         tracked &= (sc(_SACT) > 0) & (act_r > 0)
+        tracked &= (sc(_F0) > 0) & (sigma > 0)
 
-        w = jnp.where(tracked, scale, 0.0)
-        fx = jnp.sum(w * (frho * dx - fphi * dy), axis=0, keepdims=True)
-        fy = jnp.sum(w * (frho * dy + fphi * dx), axis=0, keepdims=True)
+        fx = jnp.sum(jnp.where(tracked, scale * (frho * dx - fphi * dy),
+                               0.0), axis=0, keepdims=True)
+        fy = jnp.sum(jnp.where(tracked, scale * (frho * dy + fphi * dx),
+                               0.0), axis=0, keepdims=True)
         out_ref[0:1, :] += fx
         out_ref[1:2, :] += fy
 
