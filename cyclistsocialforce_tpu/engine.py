@@ -329,21 +329,31 @@ class NeighborConfig:
         the farthest blocks).
     backend : "pallas" (TPU kernel), "xla" (gather fallback), or
         "interpret" (Pallas interpreter, for CPU tests).
+    rebuild_every : rebuild the sort + table only every K steps inside
+        `simulate`, with a skin margin on the cutoff covering the maximum
+        pairwise drift in between (2 * v_max * t_s * K by default).
     """
 
-    def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas"):
+    def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas",
+                 rebuild_every=1, skin=None, v_max=10.0, t_s=0.01):
         self.cutoff = float(cutoff)
         self.block = int(block)
         self.kb = int(kb)
         self.backend = backend
+        self.rebuild_every = int(rebuild_every)
+        self.skin = (float(skin) if skin is not None
+                     else 2.0 * v_max * t_s * self.rebuild_every)
+
+    def _key(self):
+        return (self.cutoff, self.block, self.kb, self.backend,
+                self.rebuild_every, self.skin)
 
     def __hash__(self):
-        return hash((self.cutoff, self.block, self.kb, self.backend))
+        return hash(self._key())
 
     def __eq__(self, other):
         return (isinstance(other, NeighborConfig)
-                and (self.cutoff, self.block, self.kb, self.backend)
-                == (other.cutoff, other.block, other.kb, other.backend))
+                and self._key() == other._key())
 
 
 class RoadElements(struct.PyTreeNode):
@@ -490,11 +500,30 @@ class Engine(struct.PyTreeNode):
         frx, fry = jax.lax.map(recv_tile, idx_recv.reshape(n // c, c))
         return frx.reshape(n), fry.reshape(n)
 
-    def repulsive_sum_neighbors(self, state: AgentState):
+    def neighbor_cache(self, state: AgentState):
+        """Build the culling structure: (perm, nbr, valid) over the padded
+        population, with the skin-extended cutoff so the table stays valid
+        for `rebuild_every` steps of drift."""
+        from cyclistsocialforce_tpu.ops import neighbors as NB
+
+        cfg = self.neighbors
+        n = state.n
+        blk = cfg.block
+        npad = ((n + blk - 1) // blk) * blk
+        x, y = state.s[:, X], state.s[:, Y]
+        if npad != n:
+            xpad = jnp.full((npad - n,), x[0], dtype=x.dtype)
+            x = jnp.concatenate([x, xpad])
+            y = jnp.concatenate([y, jnp.full((npad - n,), y[0],
+                                             dtype=y.dtype)])
+        return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb)
+
+    def repulsive_sum_neighbors(self, state: AgentState, cache=None):
         """Block-sparse culled pairwise forces (cell sort + neighbor-block
         table + Pallas tile kernel; see ops.neighbors/ops.pallas_forces).
+        `cache` is an optional prebuilt `neighbor_cache` result (amortized
+        rebuilds); positions/headings are re-packed every step either way.
         """
-        from cyclistsocialforce_tpu.ops import neighbors as NB
         from cyclistsocialforce_tpu.ops import pallas_forces as PF
 
         cfg = self.neighbors
@@ -536,8 +565,9 @@ class Engine(struct.PyTreeNode):
             recv_pad = recv_pad.at[0].set(x[0]).at[1].set(y[0])
             recv_pack = jnp.concatenate([recv_pack, recv_pad], axis=1)
 
-        perm, nbr, valid, _ = NB.build(
-            src_pack[:, 0], src_pack[:, 1], cfg.cutoff, blk, cfg.kb)
+        if cache is None:
+            cache = self.neighbor_cache(state)
+        perm, nbr, valid = cache[0], cache[1], cache[2]
         src_sorted = src_pack[perm]
         recv_sorted = recv_pack[:, perm]
 
@@ -555,7 +585,7 @@ class Engine(struct.PyTreeNode):
         fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
         return fx, fy
 
-    def calc_forces(self, state: AgentState):
+    def calc_forces(self, state: AgentState, nbr_cache=None):
         """Total social force per agent; returns (fx, fy, state) where
         `state` carries the navigation-FSM updates done by the destination
         force (reference intersection.py:747-864)."""
@@ -569,7 +599,7 @@ class Engine(struct.PyTreeNode):
 
         if self.rep_force is not None and state.n > 1:
             if self.neighbors is not None:
-                frx, fry = self.repulsive_sum_neighbors(state)
+                frx, fry = self.repulsive_sum_neighbors(state, nbr_cache)
             else:
                 frx, fry = self.repulsive_sum(state)
             combine = self.combine_forces or F.clamp_add_dest
@@ -607,11 +637,11 @@ class Engine(struct.PyTreeNode):
             jnp.arange(merged.n), slot, :].set(merged.s[:, :2])
         return merged.replace(i=i, pos_hist=pos_hist)
 
-    def step_with_forces(self, state: AgentState):
+    def step_with_forces(self, state: AgentState, nbr_cache=None):
         """One full step; also returns the applied forces (for saveForces
         histories, reference vehicle.py:162-164)."""
         before = state
-        fx, fy, state = self.calc_forces(state)
+        fx, fy, state = self.calc_forces(state, nbr_cache)
         new = self.model_step(self.params, state, fx, fy)
         return self.finish_step(before, new), fx, fy
 
@@ -624,18 +654,49 @@ class Engine(struct.PyTreeNode):
                  record: bool = True, record_forces: bool = False):
         """Run `n_steps` under lax.scan.
 
+        With a NeighborConfig whose rebuild_every > 1, the cell sort and
+        neighbor-block table are rebuilt only at chunk boundaries (nested
+        scan); the skin margin keeps the stale table conservative for the
+        in-between drift.
+
         Returns (final_state, traj) where traj is [T, N, 8] recorded states
         (and optionally a (fx, fy) history), or (final_state, None).
         """
+        def out(st, fx, fy):
+            if record and record_forces:
+                return (st.s, fx, fy)
+            if record:
+                return st.s
+            return None
+
         def body(st, _):
             st, fx, fy = self.step_with_forces(st)
-            if record and record_forces:
-                return st, (st.s, fx, fy)
-            if record:
-                return st, st.s
-            return st, None
+            return st, out(st, fx, fy)
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        k = (self.neighbors.rebuild_every
+             if self.neighbors is not None else 1)
+        if k <= 1 or n_steps < k:
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        n_chunks, rem = divmod(n_steps, k)
+
+        def chunk(st, _):
+            cache = self.neighbor_cache(st)
+
+            def inner(st, _):
+                st, fx, fy = self.step_with_forces(st, cache)
+                return st, out(st, fx, fy)
+
+            return jax.lax.scan(inner, st, None, length=k)
+
+        state, recs = jax.lax.scan(chunk, state, None, length=n_chunks)
+        recs = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks * k,) + a.shape[2:]), recs)
+        if rem:
+            state, tail = jax.lax.scan(body, state, None, length=rem)
+            recs = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), recs, tail)
+        return state, recs
 
 
 _PER_AGENT_FIELDS = (

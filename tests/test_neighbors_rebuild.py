@@ -1,0 +1,56 @@
+"""Amortized neighbor rebuilds: stale-table-with-skin vs per-step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclistsocialforce_tpu import Engine, make_state
+from cyclistsocialforce_tpu.engine import NeighborConfig
+from cyclistsocialforce_tpu.models import MODELS
+from cyclistsocialforce_tpu.params import (InvPendulumBicycleParams,
+                                           as_population)
+
+
+def _setup(n=192, side=150.0, seed=5):
+    rng = np.random.default_rng(seed)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, side, n)
+    s0[:, 1] = rng.uniform(0, side, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    dests = s0[:, :2] + rng.uniform(-40, 40, (n, 2))
+    st = st.replace(
+        dest=jnp.concatenate([jnp.asarray(dests), jnp.zeros((n, 1))],
+                             axis=1),
+        destqueue=st.destqueue.at[:, 0, :2].set(jnp.asarray(dests)))
+    return st, as_population(InvPendulumBicycleParams.create(), n)
+
+
+def test_amortized_rebuild_matches_per_step():
+    """rebuild_every=10 with the default skin stays within the cutoff
+    error budget of the per-step rebuild over 40 steps."""
+    st, p = _setup()
+    every = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=12, backend="xla", rebuild_every=1))
+    amort = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=12, backend="xla", rebuild_every=10))
+
+    _, t1 = jax.jit(lambda e, s: e.simulate(s, 40))(every, st)
+    _, t2 = jax.jit(lambda e, s: e.simulate(s, 40))(amort, st)
+    t1, t2 = np.asarray(t1), np.asarray(t2)
+    assert t1.shape == t2.shape == (40, 192, 8)
+    # the skin-extended stale table is a SUPERSET of the fresh table's
+    # pairs inside the cutoff, so trajectories agree to the cutoff budget
+    err = np.max(np.hypot(t2[..., 0] - t1[..., 0], t2[..., 1] - t1[..., 1]))
+    assert err < 1e-3, f"amortized rebuild drifted {err} m"
+
+
+def test_rebuild_remainder_steps():
+    """n_steps not divisible by rebuild_every: remainder handled."""
+    st, p = _setup(n=64)
+    eng = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=4, backend="xla", rebuild_every=8))
+    _, traj = jax.jit(lambda e, s: e.simulate(s, 21))(eng, st)
+    assert np.asarray(traj).shape == (21, 64, 8)
+    assert np.all(np.isfinite(np.asarray(traj)))
