@@ -10,15 +10,22 @@ intersection.py:797-823). This module is its TPU-native replacement:
     axis;
   - one simulation step runs under `shard_map`: the destination force,
     dynamics and FSM stages are purely local (embarrassingly agent-
-    parallel), while the pairwise repulsive stage all-gathers the small
+    parallel), while the pairwise repulsive stage exchanges the small
     source-side bundle (x, y, psi, v, active — a few floats per agent)
-    over ICI and evaluates an [N_global, N_local] tile per device;
-  - the per-receiver source sum needs no collective (each device already
-    sees all sources for its local receivers).
+    over ICI and evaluates tiles against the local receivers.
 
-This is the classic N-body "replicate positions, shard interactions"
-decomposition: the gathered bundle is tiny compared to the O(N²/D) compute
-per device, so scaling is compute-bound until very large device counts.
+Two communication schedules (`comm=`):
+
+  - "allgather": one `all_gather` replicates all sources per device, then
+    a single [N_global, N_local] tile — simplest, minimal latency count;
+  - "ring": the source block circulates via `ppermute` around the mesh
+    ring for D-1 hops, each hop evaluating one [N/D, N/D] tile — the
+    blockwise ring decomposition (the ring-attention pattern applied to
+    the all-pairs force stage): O(N/D) peak memory per device instead of
+    O(N), and per-hop communication overlaps with tile compute.
+
+Either way the per-receiver source sum needs no further collective (each
+receiver's partial sums accumulate locally).
 """
 
 from __future__ import annotations
@@ -60,8 +67,74 @@ def shard_state(state: AgentState, mesh: Mesh,
         state, specs)
 
 
+def _repulsive_allgather(engine, lstate, axis):
+    """All-gather schedule: every device sees all sources."""
+    nl = lstate.n
+    d = jax.lax.axis_index(axis)
+    n_global = nl * jax.lax.axis_size(axis)
+
+    def gather(v):
+        return jax.lax.all_gather(v, axis, tiled=True)
+
+    src = tuple(gather(v) for v in engine._src_bundle(lstate))
+    active_src = gather(lstate.active)
+    hfov_src = gather(jnp.broadcast_to(jnp.asarray(engine.params.hfov),
+                                       (nl,)))
+    return engine.repulsive_sum(
+        lstate, src=src, idx_src=jnp.arange(n_global),
+        active_src=active_src, hfov_src=hfov_src, recv_offset=d * nl)
+
+
+def _repulsive_ring(engine, lstate, axis):
+    """Ring schedule: circulate the source block via ppermute, one
+    [N/D, N/D] tile per hop (blockwise ring halo exchange)."""
+    nl = lstate.n
+    d = jax.lax.axis_index(axis)
+    size = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % size) for i in range(size)]
+
+    recv = (lstate.s[:, X], lstate.s[:, Y], lstate.s[:, PSI],
+            lstate.s[:, V])
+    idx_recv = d * nl + jnp.arange(nl)
+
+    src0 = engine._src_bundle(lstate)
+    # mark replicated initializers as device-varying so the scan carry
+    # types stay consistent once per-device data mixes in
+    hfov0 = jax.lax.pvary(
+        jnp.broadcast_to(jnp.asarray(engine.params.hfov), (nl,)), axis)
+    block0 = (*src0, lstate.active, hfov0,
+              jnp.asarray(d, dtype=jnp.int32))
+
+    def hop(carry, _):
+        block, frx, fry = carry
+        xs, ys, psis, vs, act_s, hfov_s, origin = block
+        fpx, fpy = engine.rep_force(engine.params,
+                                    (xs, ys, psis, vs), recv)
+        idx_src = origin * nl + jnp.arange(nl)
+        untracked = F.untracked_foes_tile(
+            xs, ys, idx_src, act_s, hfov_s,
+            recv[0], recv[1], recv[2], idx_recv, lstate.active,
+            priority_p2r=engine.priority_p2r)
+        reduce = engine.rep_reduce or F.sum_sources
+        dx, dy = reduce(fpx, fpy, ~untracked)
+        block = jax.lax.ppermute(block, axis, perm)
+        return (block, frx + dx, fry + dy), None
+
+    if engine.rep_reduce is not None:
+        raise ValueError("the ring schedule accumulates partial SUMS per "
+                         "hop; custom rep_reduce hooks need 'allgather'")
+
+    zeros = jax.lax.pvary(jnp.zeros((nl,), dtype=lstate.s.dtype), axis)
+    (block, frx, fry), _ = jax.lax.scan(
+        hop, (block0, zeros, zeros), None, length=size)
+    return frx, fry
+
+
+_REP_COMMS = {"allgather": _repulsive_allgather, "ring": _repulsive_ring}
+
+
 def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
-                    with_forces: bool = False):
+                    with_forces: bool = False, comm: str = "allgather"):
     """Build a jittable one-step function over the mesh.
 
     The population size must be divisible by the mesh size. Force-field
@@ -70,30 +143,14 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
     destination/dynamics parameters are fine (they shard with the agents).
     """
     specs = state_pspecs(axis)
+    rep_comm = _REP_COMMS[comm]
 
     def local_step(lstate: AgentState):
-        # global index offset of this shard
-        nl = lstate.n
-        d = jax.lax.axis_index(axis)
-        n_global = nl * jax.lax.axis_size(axis)
-
         before = lstate
         fdx, fdy, lstate = engine.dest_force(engine.params, lstate)
 
         if engine.rep_force is not None:
-            # all-gather the source bundle over ICI (tiled => [N_global])
-            def gather(v):
-                return jax.lax.all_gather(v, axis, tiled=True)
-
-            src = tuple(gather(v) for v in engine._src_bundle(lstate))
-            active_src = gather(lstate.active)
-            hfov_l = jnp.broadcast_to(
-                jnp.asarray(engine.params.hfov), (nl,))
-            hfov_src = gather(hfov_l)
-            idx_src = jnp.arange(n_global)
-            frx, fry = engine.repulsive_sum(
-                lstate, src=src, idx_src=idx_src, active_src=active_src,
-                hfov_src=hfov_src, recv_offset=d * nl)
+            frx, fry = rep_comm(engine, lstate, axis)
             fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
         else:
             fx, fy = fdx, fdy
@@ -116,30 +173,19 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
 
 
 def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
-                        axis: str = AGENT_AXIS, record: bool = False):
+                        axis: str = AGENT_AXIS, record: bool = False,
+                        comm: str = "allgather"):
     """Build a jittable `n_steps`-scan over the sharded step (scan inside
     shard_map: one collective program, no per-step re-entry)."""
     specs = state_pspecs(axis)
+    rep_comm = _REP_COMMS[comm]
 
     def local_run(lstate: AgentState):
-        nl = lstate.n
-        d = jax.lax.axis_index(axis)
-        n_global = nl * jax.lax.axis_size(axis)
-
         def body(st, _):
             before = st
             fdx, fdy, st = engine.dest_force(engine.params, st)
             if engine.rep_force is not None:
-                def gather(v):
-                    return jax.lax.all_gather(v, axis, tiled=True)
-                src = tuple(gather(v) for v in engine._src_bundle(st))
-                active_src = gather(st.active)
-                hfov_src = gather(jnp.broadcast_to(
-                    jnp.asarray(engine.params.hfov), (nl,)))
-                frx, fry = engine.repulsive_sum(
-                    st, src=src, idx_src=jnp.arange(n_global),
-                    active_src=active_src, hfov_src=hfov_src,
-                    recv_offset=d * nl)
+                frx, fry = rep_comm(engine, st, axis)
                 fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
             else:
                 fx, fy = fdx, fdy

@@ -73,6 +73,35 @@ def test_sharded_simulate_matches_dense():
                                rtol=0, atol=1e-12)
 
 
+def test_ring_schedule_matches_allgather():
+    """The ppermute ring halo exchange reproduces the all-gather schedule
+    (and hence the single-device step) to float tolerance."""
+    from cyclistsocialforce_tpu.parallel import (make_mesh, shard_state,
+                                                 sharded_step_fn,
+                                                 sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    eng, st = _setup(4 * n_dev)
+
+    ref, fx_ref, fy_ref = jax.jit(lambda e, s: e.step_with_forces(s))(
+        eng, st)
+    mesh = make_mesh()
+    st_sh = shard_state(st, mesh)
+    step = sharded_step_fn(eng, mesh, with_forces=True, comm="ring")
+    out, fx, fy = step(st_sh)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fx_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               atol=1e-12)
+
+    # scanned variant
+    refN, traj_ref = jax.jit(lambda e, s: e.simulate(s, 30))(eng, st)
+    run = sharded_simulate_fn(eng, mesh, 30, record=True, comm="ring")
+    outN, traj = run(st_sh)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(traj_ref),
+                               atol=1e-12)
+
+
 def test_chunked_forces_match_dense():
     from cyclistsocialforce_tpu import Engine
 
