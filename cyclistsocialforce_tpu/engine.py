@@ -164,20 +164,29 @@ def dest_force_spline(params, state: AgentState):
         vd1, znav1, znavp1 = nav.update_nav_state(
             v, ddest1, dest1[2], znav, znavp, i, p)
 
-        # ---- spline support points
+        # ---- spline support points (one-hot takes instead of gathers;
+        # see ops.navigation.queue_take)
         is_last = ptr1 >= nq - 1
-        prev = pos_hist[(i - 1) % hist]
+
+        def hist_take(idx):
+            oh = jnp.arange(hist) == idx
+            return jnp.sum(jnp.where(oh[:, None], pos_hist, 0.0), axis=0)
+
+        prev = hist_take((i - 1) % hist)
 
         # not-last: (prev, current, dq[ptr1 .. ptr1+fwd-1]), fwd in 2..4
         fwd = jnp.minimum(SPL_N_FWD, nq - ptr1)
         didx = jnp.clip(ptr1 + jnp.arange(SPL_N_FWD), 0, dq.shape[0] - 1)
+        oh4 = (jnp.arange(dq.shape[0])[None, :]
+               == didx[:, None]).astype(dq.dtype)               # [4, Q]
+        dq_sel = oh4 @ dq[:, :2]                                # [4, 2]
         pts_nl = jnp.concatenate(
-            [prev[None], pos[None], dq[didx, :2]], axis=0)     # [6, 2]
+            [prev[None], pos[None], dq_sel], axis=0)            # [6, 2]
 
         # last: (1 s back, one step back, current, destination)
         jb = jnp.maximum(0, i - lookback) % hist
         pts_last = jnp.stack(
-            [pos_hist[jb], prev, pos, dest1[:2]], axis=0)      # [4, 2]
+            [hist_take(jb), prev, pos, dest1[:2]], axis=0)      # [4, 2]
 
         dspl_nl = jax.lax.switch(
             jnp.clip(fwd - 2, 0, 2),
@@ -633,8 +642,11 @@ class Engine(struct.PyTreeNode):
             s = jnp.where(hold[:, None], before.s, s)
             merged = merged.replace(s=s)
         slot = i % merged.hist_len
-        pos_hist = merged.pos_hist.at[
-            jnp.arange(merged.n), slot, :].set(merged.s[:, :2])
+        # one-hot masked write instead of a row scatter (TPU scatters with
+        # tiny minor dims serialize; this form is bandwidth-bound)
+        oh = jnp.arange(merged.hist_len)[None, :] == slot[:, None]
+        pos_hist = jnp.where(oh[:, :, None], merged.s[:, None, :2],
+                             merged.pos_hist)
         return merged.replace(i=i, pos_hist=pos_hist)
 
     def step_with_forces(self, state: AgentState, nbr_cache=None):

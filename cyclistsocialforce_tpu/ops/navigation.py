@@ -19,10 +19,22 @@ from cyclistsocialforce_tpu.params import pair_lo
 BRAKE_SAFETY_K = 1.5  # reference vehicle.py:377
 
 
+def queue_take(destqueue, idx):
+    """Row `idx` of one agent's [Q, 3] queue via a one-hot contraction.
+
+    Under vmap this lowers to a masked reduce over the (small) queue axis
+    instead of a dynamic gather -- on TPU, batched gathers with tiny minor
+    dimensions serialize badly (measured ~10 ms/step at N = 100k for the
+    destination stage; the one-hot form is bandwidth-bound instead).
+    """
+    oh = jnp.arange(destqueue.shape[0]) == idx
+    return jnp.sum(jnp.where(oh[:, None], destqueue, 0.0), axis=0)
+
+
 def dest_distance(pos, destqueue, destpointer):
     """Distance from `pos` to the current queue destination
     (reference vehicle.py:596-604)."""
-    d = destqueue[destpointer, :2] - pos
+    d = queue_take(destqueue, destpointer)[:2] - pos
     return jnp.sqrt(d[0] ** 2 + d[1] ** 2)
 
 
@@ -49,12 +61,12 @@ def update_destination(pos, dest, destqueue, destpointer, nq, znav,
     # jump-ahead check (compares against dnext computed BEFORE the advance)
     has_next = ptr < nq - 1
     nxt = jnp.clip(ptr + 1, 0, destqueue.shape[0] - 1)
-    dn = destqueue[nxt, :2] - pos
+    dn = queue_take(destqueue, nxt)[:2] - pos
     dnextnext = jnp.sqrt(dn[0] ** 2 + dn[1] ** 2)
     ptr = jnp.where(has_next & (dnextnext < dnext), ptr + 1, ptr)
 
     ptr = jnp.where(skip, destpointer, ptr)
-    new_dest = jnp.where(skip, dest, destqueue[ptr])
+    new_dest = jnp.where(skip, dest, queue_take(destqueue, ptr))
 
     # bookkeeping when the active destination becomes a stop destination
     became_stop = (~skip) & (dest[2] <= 0) & (new_dest[2] > 0)
