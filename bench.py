@@ -36,7 +36,7 @@ def main(n_agents=100_000, n_steps=50, density=0.02):
     engine = Engine.create(
         BicycleParams.create(), MODELS["bicycle2d"], rep_force="twod",
         neighbors=NeighborConfig(
-            cutoff=60.0, block=128, kb=16,
+            cutoff=60.0, block=256, kb=8,
             backend="pallas" if on_tpu else "xla", rebuild_every=10))
 
     run = jax.jit(lambda e, s: e.simulate(s, n_steps, record=False)[0])
