@@ -31,7 +31,7 @@ from cyclistsocialforce_tpu.ops import forces as F
 from cyclistsocialforce_tpu.ops import navigation as nav
 from cyclistsocialforce_tpu.ops import spline as spl
 from cyclistsocialforce_tpu.params import pair_hi
-from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState
+from cyclistsocialforce_tpu.state import PSI, THETA, V, X, Y, AgentState
 
 
 class NavParams(struct.PyTreeNode):
@@ -649,6 +649,32 @@ class Engine(struct.PyTreeNode):
                              merged.pos_hist)
         return merged.replace(i=i, pos_hist=pos_hist)
 
+    # device-resident per-step metrics (SURVEY.md section 5): columns of
+    # the [T, 7] buffer returned by simulate(record_metrics=True)
+    METRIC_NAMES = ("n_active", "v_mean", "v_max", "roll_max", "f_mean",
+                    "f_max", "arrived_frac")
+
+    @staticmethod
+    def step_metrics(state: AgentState, fx, fy):
+        """Aggregate population metrics for one step ([7] device floats;
+        the structured replacement for the reference's print-based
+        observability, SURVEY.md section 5)."""
+        act = state.active
+        w = act.astype(state.s.dtype)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        v = state.s[:, V]
+        fmag = jnp.sqrt(fx * fx + fy * fy)
+        roll = jnp.abs(state.s[:, THETA])
+        return jnp.stack([
+            jnp.sum(w),
+            jnp.sum(v * w) / n,
+            jnp.max(jnp.where(act, v, -jnp.inf)),
+            jnp.max(jnp.where(act, roll, 0.0)),
+            jnp.sum(fmag * w) / n,
+            jnp.max(jnp.where(act, fmag, 0.0)),
+            jnp.sum(state.znav[:, 2].astype(w.dtype) * w) / n,
+        ])
+
     def step_with_forces(self, state: AgentState, nbr_cache=None):
         """One full step; also returns the applied forces (for saveForces
         histories, reference vehicle.py:162-164)."""
@@ -663,7 +689,8 @@ class Engine(struct.PyTreeNode):
     # ---- scan loop ----
 
     def simulate(self, state: AgentState, n_steps: int,
-                 record: bool = True, record_forces: bool = False):
+                 record: bool = True, record_forces: bool = False,
+                 record_metrics: bool = False):
         """Run `n_steps` under lax.scan.
 
         With a NeighborConfig whose rebuild_every > 1, the cell sort and
@@ -675,6 +702,8 @@ class Engine(struct.PyTreeNode):
         (and optionally a (fx, fy) history), or (final_state, None).
         """
         def out(st, fx, fy):
+            if record_metrics:
+                return self.step_metrics(st, fx, fy)
             if record and record_forces:
                 return (st.s, fx, fy)
             if record:

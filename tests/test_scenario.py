@@ -115,3 +115,21 @@ def test_reset():
     assert sc.i == 0
     np.testing.assert_array_equal(np.asarray(sc.state.s),
                                   np.asarray(sc.state0.s))
+
+
+def test_device_metrics_buffer():
+    """simulate(record_metrics=True) returns the [T, 7] on-device
+    aggregate buffer (SURVEY section 5 observability)."""
+    import jax
+
+    sc = _scenario()
+    final, metrics = jax.jit(
+        lambda e, s: e.simulate(s, 60, record_metrics=True))(sc.engine,
+                                                             sc.state)
+    m = np.asarray(metrics)
+    assert m.shape == (60, len(sc.engine.METRIC_NAMES))
+    cols = dict(zip(sc.engine.METRIC_NAMES, m.T))
+    assert np.all(cols["n_active"] == 3)
+    assert np.all(cols["v_mean"] > 0) and np.all(cols["v_max"] >= cols["v_mean"])
+    assert np.all(cols["f_max"] >= cols["f_mean"])
+    assert np.all((cols["arrived_frac"] >= 0) & (cols["arrived_frac"] <= 1))
