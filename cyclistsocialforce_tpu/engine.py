@@ -585,6 +585,11 @@ class Engine(struct.PyTreeNode):
             out = PF.pair_forces_neighbors_xla(
                 nbr, valid, src_sorted, recv_sorted, block=blk,
                 priority_p2r=self.priority_p2r)
+        elif cfg.backend in ("pallas_db", "interpret_db"):
+            out = PF.pair_forces_neighbors_db(
+                nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+                priority_p2r=self.priority_p2r,
+                interpret=(cfg.backend == "interpret_db")).astype(dtype)
         else:
             out = PF.pair_forces_neighbors(
                 nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,

@@ -158,6 +158,154 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
 
 
 # --------------------------------------------------------------------------
+# double-buffered variant: one program per RECEIVER block, inner loop over
+# neighbor blocks with manual async DMA -- amortizes per-program overhead
+# and overlaps the data-dependent source-tile copies with tile compute
+# --------------------------------------------------------------------------
+
+
+def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
+    """[T, T] tile math + mask; returns (fx_row, fy_row) [1, T] sums.
+    Shared by both kernels; src_tile is a [T, 16] VMEM array/ref value."""
+    def sc(c):
+        return src_tile[:, c:c + 1]
+
+    xr = recv_ref[0:1, :]
+    yr = recv_ref[1:2, :]
+    cr = recv_ref[2:3, :]
+    sr = recv_ref[3:4, :]
+    act_r = recv_ref[4:5, :]
+
+    xs, ys, cs, ss = sc(_SX), sc(_SY), sc(_SC), sc(_SS)
+    dx = xr - xs
+    dy = yr - ys
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(rho > 0, rho, 1.0)
+    inv_rho = 1.0 / safe
+
+    sin_rel = ss * cr - cs * sr
+    sin2 = sin_rel * sin_rel
+    vdecay0 = sc(_S0) + sc(_S1) * sin2
+    vdecay1 = sc(_S2) + sc(_S3) * sin2
+    e = sc(_E0) - sc(_E1) * sin2
+
+    cosphi = jnp.clip((dx * cs + dy * ss) * inv_rho, -1.0, 1.0)
+    sinphi = (dy * cs - dx * ss) * inv_rho
+    sigma = vdecay0 - vdecay1 * jnp.sqrt((1 - cosphi) * 0.5)
+    dsigm = (-vdecay1 * jnp.sqrt((1 + cosphi) * 0.5)
+             * jnp.sign(sinphi) * 0.5)
+    ec2 = 1 - (e * cosphi) ** 2
+    sq = jnp.sqrt(ec2)
+    inv_sigma = 1.0 / jnp.where(sigma > 0, sigma, 1.0)
+    P = sc(_F0) * jnp.exp(-rho * sq * inv_sigma)
+    frho = P * sq * inv_sigma
+    fphi = (-P * (ec2 * dsigm - e * e * sinphi * cosphi * sigma)
+            * (inv_sigma * inv_sigma) / sq)
+    fmag = jnp.sqrt(frho * frho + fphi * fphi)
+    fmag = jnp.where(fmag > 0, fmag, 1.0)
+    scale = P / fmag * inv_rho
+
+    rho_cos_rel = -(dx * cr + dy * sr)
+    tracked = rho_cos_rel * inv_rho >= sc(_CHF)
+    if priority_p2r:
+        rho_sin_rel = -(dy * cr - dx * sr)
+        tracked &= rho_sin_rel <= 0
+    idx_s = (nblk * block
+             + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0))
+    idx_r = (b * block
+             + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
+    tracked &= idx_s != idx_r
+    tracked &= rho > 0.0
+    tracked &= (sc(_SACT) > 0) & (act_r > 0)
+    tracked &= (sc(_F0) > 0) & (sigma > 0)
+
+    fx = jnp.sum(jnp.where(tracked, scale * (frho * dx - fphi * dy), 0.0),
+                 axis=0, keepdims=True)
+    fy = jnp.sum(jnp.where(tracked, scale * (frho * dy + fphi * dx), 0.0),
+                 axis=0, keepdims=True)
+    return fx, fy
+
+
+def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
+                    scratch, sems, *, block: int, kb: int,
+                    priority_p2r: bool):
+    b = pl.program_id(0)
+
+    def dma(slot, k):
+        blk = nbr_ref[b, k]
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(blk * block, block), :],
+            scratch.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(k, _):
+        slot = k % 2
+
+        @pl.when(k + 1 < kb)
+        def _prefetch():
+            dma((k + 1) % 2, k + 1).start()
+
+        dma(slot, k).wait()
+
+        @pl.when(valid_ref[b, k] == 1)
+        def _acc():
+            fx, fy = _tile_forces(scratch[slot], recv_ref, nbr_ref[b, k],
+                                  b, block, priority_p2r)
+            out_ref[0:1, :] += fx
+            out_ref[1:2, :] += fy
+
+        return _
+
+    jax.lax.fori_loop(0, kb, body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
+                                             "interpret"))
+def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
+                             block: int = 256, priority_p2r: bool = False,
+                             interpret: bool = False):
+    """Double-buffered block-sparse pairwise force sum (grid = receiver
+    blocks only; neighbor tiles stream through a 2-slot VMEM scratch).
+
+    HBM->VMEM DMAs need the minor dimension aligned to 128 lanes, so the
+    source pack is padded from 16 to 128 columns here (bandwidth cost
+    ~0.5 ms/step at N = 100k; the grid-overhead savings dominate)."""
+    n = src_pack.shape[0]
+    bcount, kb = nbr.shape
+    assert n == bcount * block
+    if src_pack.shape[1] < 128:
+        src_pack = jnp.concatenate(
+            [src_pack, jnp.zeros((n, 128 - src_pack.shape[1]),
+                                 src_pack.dtype)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # src stays in HBM
+            pl.BlockSpec((RECV_ROWS, block),
+                         lambda b, nbr_ref, valid_ref: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((2, block),
+                               lambda b, nbr_ref, valid_ref: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block, 128), src_pack.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_pair_kernel_db, block=block, kb=kb,
+                               priority_p2r=priority_p2r)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, n), src_pack.dtype),
+        interpret=interpret,
+    )(nbr, valid.astype(jnp.int32), src_pack, recv_pack)
+
+
+# --------------------------------------------------------------------------
 # XLA fallback (same neighbor structure, gather-based) -- used on CPU and
 # as the correctness oracle for the kernel
 # --------------------------------------------------------------------------
