@@ -177,6 +177,52 @@ def construct_twod_family(cls, s0, id="", saveForces=False):
     return b
 
 
+def gen_curve_balancingrider(n_steps=2500):
+    """BalancingRiderBicycle on a curved road with edge repulsion: the
+    curve scenario (reference scenarios/curve-scenario.py:25-105) --
+    exercises road geometry builders + infrastructure forces end-to-end."""
+    import numpy as np
+    from cyclistsocialforce.intersection import (CurvedRoadSegment,
+                                                 RoadSegmentCollection,
+                                                 SocialForceIntersection,
+                                                 StraightRoadSegment)
+    from cyclistsocialforce.parameters import RoadElementParameters
+    from cyclistsocialforce.vehicle import BalancingRiderBicycle
+
+    roadparams = RoadElementParameters(sigma=2.0, F_0=0.15)
+    x0 = np.array((0, -20, np.pi / 2))
+    seg1 = StraightRoadSegment(x0, 5, 25, params=roadparams)
+    seg2 = CurvedRoadSegment(seg1.x1, 5, 10, np.pi / 2, "right",
+                             params=roadparams)
+    seg3 = CurvedRoadSegment(seg2.x1, 5, 10, np.pi / 2, "left",
+                             params=roadparams)
+    seg4 = StraightRoadSegment(seg3.x1, 5, 20, params=roadparams)
+    segs = RoadSegmentCollection((seg1, seg2, seg3, seg4))
+
+    b = BalancingRiderBicycle((0, -5, np.pi / 2, 5, 0, 0, 0, 0), id="b",
+                              saveForces=True)
+    b.params.v_desired_default = 3.0
+    destx, desty = segs.get_destinations_from_segments()
+    for _ in range(3):
+        destx.append(destx[-1])
+        desty.append(desty[-1] + 1)
+    b.setDestinations(destx, desty)
+    b.drawing = DummyDrawing()
+    ins = SocialForceIntersection([b], road_elements=[segs],
+                                  activate_sumo_cosimulation=False,
+                                  animate=False)
+    for k in range(n_steps):
+        try:
+            ins.step()
+        except Exception as e:
+            print(f"  reference stopped at step {k}: "
+                  f"{type(e).__name__}: {e}")
+            n_steps = k
+            break
+    save("curve_balancingrider.npz", [b], n_steps,
+         extra={"destx": np.asarray(destx), "desty": np.asarray(desty)})
+
+
 PARCOURS_DESTS = ((10, 20, 30, 40, 50, 50, 50), (0, 4, -4, 0, 4, 30, 31))
 
 
@@ -211,6 +257,7 @@ SCENARIOS = {
     "encroachment_invpendulum": gen_encroachment_invpendulum,
     "encroachment_balancingrider": gen_encroachment_balancingrider,
     "encroachment_planarbicycle": gen_encroachment_planarbicycle,
+    "curve_balancingrider": gen_curve_balancingrider,
     "parcours_planarpoint": gen_parcours_planarpoint,
     "parcours_twod": gen_parcours_twod,
 }
