@@ -47,73 +47,8 @@ def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
 
     @pl.when(valid_ref[b, k] == 1)
     def _accumulate():
-        # source fields as [T, 1] sublane vectors
-        def sc(c):
-            return src_ref[:, c:c + 1]
-
-        # receiver fields as [1, T] lane vectors
-        xr = recv_ref[0:1, :]
-        yr = recv_ref[1:2, :]
-        cr = recv_ref[2:3, :]
-        sr = recv_ref[3:4, :]
-        act_r = recv_ref[4:5, :]
-
-        xs, ys, cs, ss = sc(_SX), sc(_SY), sc(_SC), sc(_SS)
-        dx = xr - xs
-        dy = yr - ys
-        rho2 = dx * dx + dy * dy
-        rho = jnp.sqrt(rho2)
-        safe = jnp.where(rho > 0, rho, 1.0)
-        inv_rho = 1.0 / safe
-
-        # ---- BMD2023 anisotropic field (forces.rep_force_twod_pair) ----
-        sin_rel = ss * cr - cs * sr
-        sin2 = sin_rel * sin_rel
-        vdecay0 = sc(_S0) + sc(_S1) * sin2
-        vdecay1 = sc(_S2) + sc(_S3) * sin2
-        e = sc(_E0) - sc(_E1) * sin2
-
-        cosphi = jnp.clip((dx * cs + dy * ss) * inv_rho, -1.0, 1.0)
-        sinphi = (dy * cs - dx * ss) * inv_rho
-        sigma = vdecay0 - vdecay1 * jnp.sqrt((1 - cosphi) * 0.5)
-        dsigm = (-vdecay1 * jnp.sqrt((1 + cosphi) * 0.5)
-                 * jnp.sign(sinphi) * 0.5)
-        ec2 = 1 - (e * cosphi) ** 2
-        sq = jnp.sqrt(ec2)
-        # degenerate sources (zeroed padding rows: sigma == 0) must not
-        # poison the tile -- 0 * inf = NaN survives multiplicative
-        # masking, so guard the division and `where`-select contributions
-        inv_sigma = 1.0 / jnp.where(sigma > 0, sigma, 1.0)
-        P = sc(_F0) * jnp.exp(-rho * sq * inv_sigma)
-        frho = P * sq * inv_sigma
-        fphi = (-P * (ec2 * dsigm - e * e * sinphi * cosphi * sigma)
-                * (inv_sigma * inv_sigma) / sq)
-        fmag = jnp.sqrt(frho * frho + fphi * fphi)
-        fmag = jnp.where(fmag > 0, fmag, 1.0)
-        scale = P / fmag * inv_rho
-
-        # ---- FOV / self / active mask (forces.untracked_foes_tile) ----
-        # relative azimuth of the SOURCE in the RECEIVER's frame uses the
-        # reversed displacement (source - receiver) = -dx, -dy
-        rho_cos_rel = -(dx * cr + dy * sr)
-        tracked = rho_cos_rel * inv_rho >= sc(_CHF)
-        if priority_p2r:
-            rho_sin_rel = -(dy * cr - dx * sr)
-            tracked &= rho_sin_rel <= 0
-        nblk = nbr_ref[b, k]
-        idx_s = (nblk * block
-                 + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0))
-        idx_r = (b * block
-                 + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
-        tracked &= idx_s != idx_r
-        tracked &= rho > 0.0
-        tracked &= (sc(_SACT) > 0) & (act_r > 0)
-        tracked &= (sc(_F0) > 0) & (sigma > 0)
-
-        fx = jnp.sum(jnp.where(tracked, scale * (frho * dx - fphi * dy),
-                               0.0), axis=0, keepdims=True)
-        fy = jnp.sum(jnp.where(tracked, scale * (frho * dy + fphi * dx),
-                               0.0), axis=0, keepdims=True)
+        fx, fy = _tile_forces(src_ref, recv_ref, nbr_ref[b, k], b, block,
+                              priority_p2r)
         out_ref[0:1, :] += fx
         out_ref[1:2, :] += fy
 
@@ -179,9 +114,12 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
     xs, ys, cs, ss = sc(_SX), sc(_SY), sc(_SC), sc(_SS)
     dx = xr - xs
     dy = yr - ys
-    rho = jnp.sqrt(dx * dx + dy * dy)
-    safe = jnp.where(rho > 0, rho, 1.0)
-    inv_rho = 1.0 / safe
+    rho2 = dx * dx + dy * dy
+    # rsqrt replaces sqrt+divide pairs (the tile is VPU-transcendental
+    # bound); rho == 0 pairs produce inf/NaN downstream and are dropped by
+    # the final where-select (`tracked` requires rho2 > 0)
+    inv_rho = jax.lax.rsqrt(jnp.where(rho2 > 0, rho2, 1.0))
+    rho = rho2 * inv_rho
 
     sin_rel = ss * cr - cs * sr
     sin2 = sin_rel * sin_rel
@@ -195,15 +133,16 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
     dsigm = (-vdecay1 * jnp.sqrt((1 + cosphi) * 0.5)
              * jnp.sign(sinphi) * 0.5)
     ec2 = 1 - (e * cosphi) ** 2
-    sq = jnp.sqrt(ec2)
+    inv_sq = jax.lax.rsqrt(ec2)             # ec2 >= 1 - e_0^2 > 0
+    sq = ec2 * inv_sq
     inv_sigma = 1.0 / jnp.where(sigma > 0, sigma, 1.0)
     P = sc(_F0) * jnp.exp(-rho * sq * inv_sigma)
     frho = P * sq * inv_sigma
     fphi = (-P * (ec2 * dsigm - e * e * sinphi * cosphi * sigma)
-            * (inv_sigma * inv_sigma) / sq)
-    fmag = jnp.sqrt(frho * frho + fphi * fphi)
-    fmag = jnp.where(fmag > 0, fmag, 1.0)
-    scale = P / fmag * inv_rho
+            * (inv_sigma * inv_sigma) * inv_sq)
+    fmag2 = frho * frho + fphi * fphi
+    inv_fmag = jax.lax.rsqrt(jnp.where(fmag2 > 0, fmag2, 1.0))
+    scale = P * inv_fmag * inv_rho
 
     rho_cos_rel = -(dx * cr + dy * sr)
     tracked = rho_cos_rel * inv_rho >= sc(_CHF)
