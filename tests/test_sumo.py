@@ -81,6 +81,28 @@ def test_reference_demo_net_parses():
     assert len(net.outgoing_edges("J27")) == 3
 
 
+def test_reference_large_net_multi_intersection():
+    """The 4-intersection 'large' demo network constructs a working
+    multi-intersection co-simulation (reference demoCSFxSUMO-large)."""
+    import os
+
+    path = "/root/reference/demo/config/demoCSFxSUMO-large.net.xml"
+    if not os.path.exists(path):
+        pytest.skip("reference large demo net unavailable")
+    net = SumoNetwork.parse(path)
+    live = net.non_dead_end_junctions()
+    assert len(live) == 4
+    t = FakeTraCI(net, step_length=0.01)
+    cosim = SumoCoSimulation(net, t, bicycle_type="bicycle", capacity=8)
+    assert len(cosim.intersections) == 4
+    for ins in cosim.intersections:
+        assert ins.internal_lane_ids
+        assert ins.in_edges and ins.out_edges
+    # steps cleanly with no traffic
+    for _ in range(5):
+        cosim.step()
+
+
 def test_fake_traci_moves_vehicles(net):
     t = FakeTraCI(net, step_length=0.1)
     t.add_vehicle("b0", ("EW", "EE"), speed=4.0)
