@@ -30,7 +30,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cyclistsocialforce_tpu.ops import navigation as nav
 from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState
 from cyclistsocialforce_tpu.utils.angles import limit_angle
 
@@ -62,20 +61,17 @@ def _kp(params, key, n):
 
 def dest_force_kaths(params, state: AgentState):
     """Destination force (Fv, Ft) (reference
-    calc_kaths_veloaniso_destination_force, external.py:69-84): advance
-    the destination queue (like the reference's `updateDestination` call,
-    external.py:78-79), then relax the speed toward v_desired and the
-    heading toward the destination bearing, each with its own time
-    constant. No navigation FSM (the reference's version skips it too)."""
+    calc_kaths_veloaniso_destination_force, external.py:69-84): relax the
+    speed toward v_desired and the heading toward the destination bearing,
+    each with its own time constant.
+
+    NOTE: the reference's docstring claims the queue is advanced, but its
+    code never calls updateDestination -- the Kaths model rides toward the
+    CURRENT destination only (set it with `set_destinations(...,
+    reset=True)`); parity-tested in tests/test_parity_walk_kaths.py. No
+    navigation FSM either (same upstream)."""
     n = state.n
     s = state.s
-    d_arr = jnp.broadcast_to(jnp.asarray(params.d_arrived_inter), (n,))
-    dest, ptr, istop, dstop = jax.vmap(nav.update_destination)(
-        s[:, :2], state.dest, state.destqueue, state.destpointer,
-        state.nq, state.znav, state.i, state.i_stopsignal,
-        state.d_stopsignal, d_arr)
-    state = state.replace(dest=dest, destpointer=ptr, i_stopsignal=istop,
-                          d_stopsignal=dstop)
     t_b0 = jnp.arctan((state.dest[:, 1] - s[:, Y])
                       / (state.dest[:, 0] - s[:, X]))
     vdes = jnp.broadcast_to(jnp.asarray(params.v_desired_default), (n,))

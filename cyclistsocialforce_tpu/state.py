@@ -192,6 +192,35 @@ def set_destinations(state: AgentState, agent: int, x, y, stop=None,
     )
 
 
+def set_spline_destinations(state: AgentState, agent: int, x, y,
+                            npoints: int, stop: bool = False,
+                            reset: bool = False) -> AgentState:
+    """Set intermediate destinations along a cubic spline through the
+    given waypoints, starting at the agent's current position.
+
+    Host-side port of Vehicle.setSplineDestinations (reference
+    vehicle.py:649-693); the spline resampling itself lives in
+    `trajectory.generate_spline_prototype`.
+    """
+    import numpy as np
+
+    from cyclistsocialforce_tpu.trajectory import generate_spline_prototype
+
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    if x.size < 3:
+        raise ValueError(
+            "Provide at least 3 points to calculate a cubic trajectory "
+            "prototype")
+    x = np.insert(x, 0, float(state.s[agent, X]))
+    y = np.insert(y, 0, float(state.s[agent, Y]))
+    xi, yi = generate_spline_prototype(x, y, npoints)
+    flags = np.zeros_like(xi)
+    if stop:
+        flags[-1] = 1.0
+    return set_destinations(state, agent, xi, yi, stop=flags, reset=reset)
+
+
 def stop(state: AgentState, agent: int, stoptype: int = 0,
          stopdest=None, a_brake=None) -> AgentState:
     """Make one agent come to a halt (reference vehicle.py:459-503).

@@ -177,6 +177,56 @@ def construct_twod_family(cls, s0, id="", saveForces=False):
     return b
 
 
+def gen_walk_invpendulum(n_steps=1500):
+    """InvPendulumBicycle starting below walking speed: exercises the
+    riding/walking FSM transition (reference vehicle.py:1932-1950)."""
+    from cyclistsocialforce.vehicle import InvPendulumBicycle
+
+    b = construct_twod_family(InvPendulumBicycle,
+                              (0, 0, 0, 0.5, 0, 0), id="w",
+                              saveForces=True)
+    b.setDestinations((30, 31), (0, 0))
+    n_steps = run_intersection([b], n_steps)
+    save("walk_invpendulum.npz", [b], n_steps)
+
+
+def gen_kaths_single(n_steps=1200):
+    """Single Kaths (2023) particle-model bicycle following destinations
+    (reference external.py) -- forces via the model's own dest force, no
+    repulsion (single agent)."""
+    import numpy as np
+    from cyclistsocialforce import external as ext
+    from cyclistsocialforce.parameters import BicycleParameters
+    from cyclistsocialforce.vehicle import Vehicle
+
+    # Kaths_Bicycle.__init__ passes a `drawing_class` kwarg Vehicle does
+    # not accept (upstream bug, external.py:160-166); reproduce the
+    # evident intent manually.
+    params = BicycleParameters(
+        v_desired_default=4.0,
+        rep_force=ext.get_kaths_veloaniso_paramset(),
+        dest_force=ext.get_kaths_veloaniso_paramset())
+    b = Vehicle((0.0, 0.0, 0.1, 2.0), id="k", saveForces=True,
+                params=params,
+                rep_force_func=ext.calc_kaths_veloaniso_repulsive_force,
+                dest_force_func=ext.calc_kaths_veloaniso_destination_force)
+    b.dyn_step_func = ext.step_kaths_particle_model
+    # reset=True: the Kaths dest force takes arctan toward the CURRENT
+    # dest, which defaults to the agent's own position (0/0 -> NaN in the
+    # reference) until the queue is made current
+    b.setDestinations((30, 30, 30), (5, 20, 21), reset=True)
+    for k in range(n_steps):
+        try:
+            F1, F2 = b.dest_force_func(b)
+            b.step(F1, F2)
+        except Exception as e:
+            print(f"  reference stopped at step {k}: "
+                  f"{type(e).__name__}: {e}")
+            n_steps = k
+            break
+    save("kaths_single.npz", [b], n_steps)
+
+
 def gen_curve_balancingrider(n_steps=2500):
     """BalancingRiderBicycle on a curved road with edge repulsion: the
     curve scenario (reference scenarios/curve-scenario.py:25-105) --
@@ -258,6 +308,8 @@ SCENARIOS = {
     "encroachment_balancingrider": gen_encroachment_balancingrider,
     "encroachment_planarbicycle": gen_encroachment_planarbicycle,
     "curve_balancingrider": gen_curve_balancingrider,
+    "walk_invpendulum": gen_walk_invpendulum,
+    "kaths_single": gen_kaths_single,
     "parcours_planarpoint": gen_parcours_planarpoint,
     "parcours_twod": gen_parcours_twod,
 }

@@ -17,7 +17,7 @@ from cyclistsocialforce_tpu.state import set_destinations
 def _engine(n, s0, dests, v_desired=4.0):
     st = make_state(np.asarray(s0, dtype=np.float64), dtype=np.float64)
     for a, (dx, dy) in enumerate(dests):
-        st = set_destinations(st, a, dx, dy)
+        st = set_destinations(st, a, dx, dy, reset=True)
     p = as_population(BicycleParams.create(
         v_desired_default=v_desired,
         rep_force=external.KATHS_VELOANISO_PARAMS,
