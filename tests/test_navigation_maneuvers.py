@@ -121,3 +121,22 @@ def test_stop_then_go_resumes():
     traj = np.asarray(traj)
     assert traj[-1, 0, 3] > 3.0                        # moving again
     assert not bool(np.asarray(final.znav)[0, 2])      # un-arrived
+
+
+def test_set_spline_destinations():
+    """Port of Vehicle.setSplineDestinations (reference vehicle.py:649):
+    waypoints densified along a cubic spline, optional stop at the end."""
+    from cyclistsocialforce_tpu.state import set_spline_destinations
+
+    _, st = _rider()
+    st2 = set_spline_destinations(st, 0, (10.0, 20.0, 30.0),
+                                  (5.0, -5.0, 0.0), npoints=8, stop=True,
+                                  reset=True)
+    q = np.asarray(st2.destqueue[0])
+    assert int(st2.nq[0]) == 8
+    # spline starts at the rider and ends at the last waypoint
+    np.testing.assert_allclose(q[0, :2], [0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(q[7, :2], [30.0, 0.0], atol=1e-9)
+    assert q[7, 2] == 1.0 and np.all(q[:7, 2] == 0.0)
+    # intermediate points interpolate the waypoints smoothly (monotone x)
+    assert np.all(np.diff(q[:8, 0]) > 0)
