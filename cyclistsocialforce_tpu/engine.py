@@ -594,7 +594,8 @@ class Engine(struct.PyTreeNode):
             out = PF.pair_forces_neighbors(
                 nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
                 priority_p2r=self.priority_p2r,
-                interpret=(cfg.backend == "interpret")).astype(dtype)
+                interpret=(cfg.backend == "interpret"),
+                cutoff=cfg.cutoff).astype(dtype)
         fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
         fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
         return fx, fy

@@ -37,7 +37,7 @@ _SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT = \
 
 
 def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
-                 *, block: int, priority_p2r: bool):
+                 *, block: int, priority_p2r: bool, cutoff2: float):
     b = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -47,17 +47,27 @@ def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
 
     @pl.when(valid_ref[b, k] == 1)
     def _accumulate():
-        fx, fy = _tile_forces(src_ref, recv_ref, nbr_ref[b, k], b, block,
-                              priority_p2r)
-        out_ref[0:1, :] += fx
-        out_ref[1:2, :] += fy
+        # cheap distance screen: fringe tiles admitted by the box-to-box
+        # cull may contain no pair inside the cutoff -- skip the
+        # transcendental-heavy field math for those
+        dx = recv_ref[0:1, :] - src_ref[:, _SX:_SX + 1]
+        dy = recv_ref[1:2, :] - src_ref[:, _SY:_SY + 1]
+        rho2_min = jnp.min(dx * dx + dy * dy)
+
+        @pl.when(rho2_min <= cutoff2)
+        def _inner():
+            fx, fy = _tile_forces(src_ref, recv_ref, nbr_ref[b, k], b,
+                                  block, priority_p2r)
+            out_ref[0:1, :] += fx
+            out_ref[1:2, :] += fy
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
-                                             "interpret"))
+                                             "interpret", "cutoff"))
 def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                           priority_p2r: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          cutoff: float = float("inf")):
     """Block-sparse pairwise force sum.
 
     nbr, valid : [B, KB] neighbor-block table (ops.neighbors)
@@ -82,8 +92,9 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
         out_specs=pl.BlockSpec((2, block),
                                lambda b, k, nbr_ref, valid_ref: (0, b)),
     )
+    c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     kernel = functools.partial(_pair_kernel, block=block,
-                               priority_p2r=priority_p2r)
+                               priority_p2r=priority_p2r, cutoff2=c2)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
