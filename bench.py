@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def main(n_agents=100_000, n_steps=50, density=0.02):
+def main(n_agents=100_000, n_steps=60, density=0.02):
     import jax
 
     from __graft_entry__ import _build
