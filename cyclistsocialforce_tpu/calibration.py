@@ -24,7 +24,7 @@ model speed to the observed desired speed before every step
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ Faithfulness notes (implementation from the paper, like the reference's):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState

@@ -26,7 +26,6 @@ vehicle state gets the wrapped angle (dynamics.py:950-969).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from cyclistsocialforce_tpu.params import pair_hi, pair_lo
 from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState

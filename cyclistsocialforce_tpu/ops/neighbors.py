@@ -26,7 +26,6 @@ detected with `neighbor_overflow`.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 BIG = jnp.float32(3.4e38)

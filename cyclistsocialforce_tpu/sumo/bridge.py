@@ -22,8 +22,6 @@ TPU-native adaptations:
 from __future__ import annotations
 
 import time
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

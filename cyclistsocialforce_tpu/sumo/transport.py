@@ -18,8 +18,6 @@ position projects onto the outgoing edge.
 
 from __future__ import annotations
 
-import numpy as np
-
 from cyclistsocialforce_tpu.sumo.net import SumoNetwork
 from cyclistsocialforce_tpu.utils.angles import angle_sfm_to_sumo
 
