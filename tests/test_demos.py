@@ -26,3 +26,13 @@ def test_demo_runs(cmd):
              "PYTHONPATH": "."},
     )
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_demo_calibration():
+    out = subprocess.run(
+        [sys.executable, "demos/demo_calibration.py"],
+        capture_output=True, text=True, timeout=420,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "PYTHONPATH": "."})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "recovered 10.0" in out.stdout
