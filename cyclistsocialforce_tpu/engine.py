@@ -589,7 +589,8 @@ class Engine(struct.PyTreeNode):
             out = PF.pair_forces_neighbors_db(
                 nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
                 priority_p2r=self.priority_p2r,
-                interpret=(cfg.backend == "interpret_db")).astype(dtype)
+                interpret=(cfg.backend == "interpret_db"),
+                cutoff=cfg.cutoff).astype(dtype)
         else:
             out = PF.pair_forces_neighbors(
                 nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,

@@ -178,7 +178,7 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
 
 def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
                     scratch, sems, *, block: int, kb: int,
-                    priority_p2r: bool):
+                    priority_p2r: bool, cutoff2: float):
     b = pl.program_id(0)
 
     def dma(slot, k):
@@ -201,10 +201,16 @@ def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
 
         @pl.when(valid_ref[b, k] == 1)
         def _acc():
-            fx, fy = _tile_forces(scratch[slot], recv_ref, nbr_ref[b, k],
-                                  b, block, priority_p2r)
-            out_ref[0:1, :] += fx
-            out_ref[1:2, :] += fy
+            tile = scratch[slot]
+            dx = recv_ref[0:1, :] - tile[:, _SX:_SX + 1]
+            dy = recv_ref[1:2, :] - tile[:, _SY:_SY + 1]
+
+            @pl.when(jnp.min(dx * dx + dy * dy) <= cutoff2)
+            def _inner():
+                fx, fy = _tile_forces(tile, recv_ref, nbr_ref[b, k],
+                                      b, block, priority_p2r)
+                out_ref[0:1, :] += fx
+                out_ref[1:2, :] += fy
 
         return _
 
@@ -212,10 +218,11 @@ def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
-                                             "interpret"))
+                                             "interpret", "cutoff"))
 def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
                              block: int = 256, priority_p2r: bool = False,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             cutoff: float = float("inf")):
     """Double-buffered block-sparse pairwise force sum (grid = receiver
     blocks only; neighbor tiles stream through a 2-slot VMEM scratch).
 
@@ -245,8 +252,9 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     kernel = functools.partial(_pair_kernel_db, block=block, kb=kb,
-                               priority_p2r=priority_p2r)
+                               priority_p2r=priority_p2r, cutoff2=c2)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
