@@ -176,10 +176,14 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
     return fx, fy
 
 
+_DB_DEPTH = 4   # DMA pipeline depth (slots prefetched ahead)
+
+
 def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
                     scratch, sems, *, block: int, kb: int,
                     priority_p2r: bool, cutoff2: float):
     b = pl.program_id(0)
+    depth = _DB_DEPTH
 
     def dma(slot, k):
         blk = nbr_ref[b, k]
@@ -187,16 +191,14 @@ def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
             src_hbm.at[pl.ds(blk * block, block), :],
             scratch.at[slot], sems.at[slot])
 
-    dma(0, 0).start()
+    # warm up the pipeline: issue the first `depth` copies (kb static)
+    for w in range(min(depth, kb)):
+        dma(w, w).start()
+
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(k, _):
-        slot = k % 2
-
-        @pl.when(k + 1 < kb)
-        def _prefetch():
-            dma((k + 1) % 2, k + 1).start()
-
+        slot = k % depth
         dma(slot, k).wait()
 
         @pl.when(valid_ref[b, k] == 1)
@@ -211,6 +213,11 @@ def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
                                       b, block, priority_p2r)
                 out_ref[0:1, :] += fx
                 out_ref[1:2, :] += fy
+
+        # refill this slot only after its tile was consumed
+        @pl.when(k + depth < kb)
+        def _refill():
+            dma(slot, k + depth).start()
 
         return _
 
@@ -248,8 +255,8 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
         out_specs=pl.BlockSpec((2, block),
                                lambda b, nbr_ref, valid_ref: (0, b)),
         scratch_shapes=[
-            pltpu.VMEM((2, block, 128), src_pack.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_DB_DEPTH, block, 128), src_pack.dtype),
+            pltpu.SemaphoreType.DMA((_DB_DEPTH,)),
         ],
     )
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
