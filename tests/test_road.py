@@ -145,3 +145,18 @@ def test_engine_with_road_keeps_agent_on_road():
     # edge repulsion pushes the rider toward the centerline (y < start)
     assert np.mean(traj[300:, 0, 1]) < 1.8
     assert np.all(np.abs(traj[:, 0, 1]) < 3.0)   # stays on the road
+
+
+def test_spline_prototype_matches_reference():
+    """trajectory.generate_spline_prototype vs the reference's
+    generateSplinePrototype (trajectory.py:11-41) on the same points."""
+    from cyclistsocialforce.trajectory import generateSplinePrototype
+
+    from cyclistsocialforce_tpu.trajectory import generate_spline_prototype
+
+    x = np.array([0.0, 3.0, 7.0, 12.0, 15.0])
+    y = np.array([0.0, 2.0, 1.0, -1.5, 0.5])
+    rx, ry = generateSplinePrototype(x, y, 9)
+    mx, my = generate_spline_prototype(x, y, 9)
+    np.testing.assert_allclose(mx, rx, atol=1e-12)
+    np.testing.assert_allclose(my, ry, atol=1e-12)
