@@ -40,7 +40,7 @@ def test_neighbor_table_structure():
         assert bi in nbr[bi][valid[bi]], f"block {bi} missing itself"
 
 
-@pytest.mark.parametrize("backend", ["xla", "interpret"])
+@pytest.mark.parametrize("backend", ["xla", "interpret", "interpret_db"])
 def test_neighbor_forces_match_dense_with_full_cutoff(backend):
     """With a cutoff covering the whole domain the culled path must equal
     the dense path exactly (same pairs, same math)."""
@@ -52,14 +52,14 @@ def test_neighbor_forces_match_dense_with_full_cutoff(backend):
     culled = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
         cutoff=1e4, block=64, kb=4, backend=backend))
     frx_c, fry_c = culled.repulsive_sum_neighbors(st)
-    tol = 1e-9 if backend == "xla" else 1e-4   # interpret runs f32
+    tol = 1e-9 if backend == "xla" else 1e-4   # interpret paths run f32
     np.testing.assert_allclose(np.asarray(frx_c), np.asarray(frx_d),
                                atol=tol)
     np.testing.assert_allclose(np.asarray(fry_c), np.asarray(fry_d),
                                atol=tol)
 
 
-@pytest.mark.parametrize("backend", ["xla", "interpret"])
+@pytest.mark.parametrize("backend", ["xla", "interpret", "interpret_db"])
 def test_neighbor_forces_cutoff_error_bounded(backend):
     """With the production 60 m cutoff the dropped tail stays below the
     1e-4 force tolerance."""
