@@ -33,7 +33,7 @@ def main():
 
     _, state = _build(args.agents, dtype=np.float32)
     nb = None if args.dense else NeighborConfig(
-        cutoff=60.0, block=256, kb=16, backend=args.backend)
+        cutoff=60.0, block=256, kb=8, backend=args.backend, rebuild_every=20)
     eng = Engine.create(
         BicycleParams.create(), MODELS["bicycle2d"], rep_force="twod",
         neighbors=nb, rep_chunk=1000 if args.dense else None)
