@@ -177,6 +177,19 @@ def construct_twod_family(cls, s0, id="", saveForces=False):
     return b
 
 
+def gen_encroachment_twod(n_steps=700):
+    """3-agent encroachment on the TwoDBicycle: the BMD2023 repulsive
+    field + spline destination force under multi-agent interaction."""
+    from cyclistsocialforce.vehicle import TwoDBicycle
+
+    vehicles = encroachment_vehicles(
+        TwoDBicycle, n_states=5,
+        construct=lambda s0, **kw: construct_twod_family(
+            TwoDBicycle, s0, **kw))
+    n_steps = run_intersection(vehicles, n_steps)
+    save("encroachment_twod.npz", vehicles, n_steps)
+
+
 def gen_walk_invpendulum(n_steps=1500):
     """InvPendulumBicycle starting below walking speed: exercises the
     riding/walking FSM transition (reference vehicle.py:1932-1950)."""
@@ -309,6 +322,7 @@ SCENARIOS = {
     "encroachment_planarbicycle": gen_encroachment_planarbicycle,
     "curve_balancingrider": gen_curve_balancingrider,
     "walk_invpendulum": gen_walk_invpendulum,
+    "encroachment_twod": gen_encroachment_twod,
     "kaths_single": gen_kaths_single,
     "parcours_planarpoint": gen_parcours_planarpoint,
     "parcours_twod": gen_parcours_twod,

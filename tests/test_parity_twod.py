@@ -8,7 +8,8 @@ tests/oracle/generate_golden.py:construct_twod_family."""
 
 import numpy as np
 
-from parity_common import (PARCOURS_DESTS, assert_parity, load_golden,
+from parity_common import (ENCROACH_DESTS, ENCROACH_S0,
+                           PARCOURS_DESTS, assert_parity, load_golden,
                            run_scenario)
 
 
@@ -27,3 +28,17 @@ def test_parcours_twod_parity():
         "twod", _params(), np.array([[0.0, 0, 0, 5, 0]]),
         [PARCOURS_DESTS], n_steps)
     assert_parity(g, traj, fx, fy, 1)
+
+
+def test_encroachment_twod():
+    """3-agent encroachment: the BMD2023 repulsive field + spline
+    destination force under multi-agent interaction."""
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    golden = load_golden("encroachment_twod.npz")
+    params = InvPendulumBicycleParams.create()
+    traj, fx, fy = run_scenario(
+        "twod", params, ENCROACH_S0, ENCROACH_DESTS, 700,
+        v_desired=[4.5, 5.0, 5.0])
+    assert_parity(golden, traj, fx, fy, 3, pos_tol=1e-6, force_tol=1e-6,
+                  v_tol=1e-6)
