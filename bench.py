@@ -49,9 +49,12 @@ def main(n_agents=100_000, n_steps=60, density=0.02):
 
     sync(run(engine, state))  # compile + warmup
 
-    t0 = time.perf_counter()
-    probe = sync(run(engine, state))
-    dt = time.perf_counter() - t0
+    # best-of-3: strips the remote-tunnel dispatch jitter (+-10% per run)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe = sync(run(engine, state))
+        dt = min(dt, time.perf_counter() - t0)
     assert np.all(np.isfinite(probe)), f"non-finite state after run: {probe}"
 
     agent_steps_per_sec = n_agents * n_steps / dt
