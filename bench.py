@@ -47,7 +47,17 @@ def main(n_agents=100_000, n_steps=60, density=0.02):
         jax.block_until_ready(out)
         return np.asarray(out.s[:4, :4])
 
-    sync(run(engine, state))  # compile + warmup
+    out0 = run(engine, state)  # compile + warmup
+    sync(out0)
+
+    # capacity audit: the culled path drops farthest-first beyond kb --
+    # assert the bench config is overflow-free at the start AND after the
+    # measured horizon (silent force truncation would invalidate the run)
+    import jax.numpy as jnp  # noqa: E402 (bench must not import conftest)
+
+    ovf = jax.jit(lambda e, s: jnp.any(e.neighbor_cache(s)[3]))
+    assert not bool(ovf(engine, state)), "neighbor table overflow at t=0"
+    assert not bool(ovf(engine, out0)), "neighbor table overflow at t=end"
 
     # best-of-3: strips the remote-tunnel dispatch jitter (+-10% per run)
     dt = float("inf")

@@ -30,7 +30,15 @@ def checked_step(engine):
     (state) -> (error, state). `error.throw()` raises with the message."""
 
     def step(state):
-        fx, fy, st = engine.calc_forces(state)
+        cache = None
+        if engine.neighbors is not None:
+            cache = engine.neighbor_cache(state)
+            checkify.check(
+                ~jnp.any(cache[3]),
+                "neighbor-block table overflow: more source blocks within "
+                "the cutoff than kb -- farthest blocks dropped, forces "
+                "truncated; raise NeighborConfig.kb")
+        fx, fy, st = engine.calc_forces(state, cache)
         checkify.check(jnp.all(jnp.isfinite(fx) & jnp.isfinite(fy)),
                        "non-finite social force")
         new = engine.model_step(engine.params, st, fx, fy)
@@ -47,7 +55,14 @@ def checked_simulate(engine, n_steps: int):
     failing step index."""
 
     def step(state, i):
-        fx, fy, st = engine.calc_forces(state)
+        cache = None
+        if engine.neighbors is not None:
+            cache = engine.neighbor_cache(state)
+            checkify.check(
+                ~jnp.any(cache[3]),
+                "neighbor-block table overflow at step {i}: forces "
+                "truncated; raise NeighborConfig.kb", i=i)
+        fx, fy, st = engine.calc_forces(state, cache)
         ok = jnp.all(jnp.isfinite(fx) & jnp.isfinite(fy))
         checkify.check(ok, "non-finite social force at step {i}", i=i)
         new = engine.model_step(engine.params, st, fx, fy)

@@ -102,6 +102,22 @@ def dest_force_straight(params, state: AgentState):
     return fx, fy, new_state
 
 
+def dest_force_hm(params, state: AgentState):
+    """Helbing-Molnar destination-force variant (reference
+    Bicycle.calcDestinationForceHM, vehicle.py:1196-1216): runs the full
+    straight-line stage (destination-queue update + navigation FSM,
+    vehicle.py:1201 calling calcDestinationForce), then relaxes the
+    CURRENT velocity toward params.v_desired_default along the
+    straight-line direction -- acceleration semantics, selectable via
+    dest_force="hm" (the reference's dest_force_func strategy injection,
+    vehicle.py:111-135)."""
+    fx, fy, new_state = dest_force_straight(params, state)
+    n = state.n
+    vdd = jnp.broadcast_to(jnp.asarray(params.v_desired_default), (n,))
+    fx, fy = F.dest_force_hm(fx, fy, state.s[:, V], state.s[:, PSI], vdd)
+    return fx, fy, new_state
+
+
 # --------------------------------------------------------------------------
 # spline (path-planning) destination force
 # --------------------------------------------------------------------------
@@ -318,6 +334,7 @@ DEST_FORCES: dict[str, Callable] = {
     "straight": dest_force_straight,
     "direct": dest_force_straight,
     "spline": dest_force_spline,
+    "hm": dest_force_hm,
 }
 
 REP_FORCES: dict[str, Callable] = {
@@ -527,18 +544,16 @@ class Engine(struct.PyTreeNode):
                                              dtype=y.dtype)])
         return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb)
 
-    def repulsive_sum_neighbors(self, state: AgentState, cache=None):
-        """Block-sparse culled pairwise forces (cell sort + neighbor-block
-        table + Pallas tile kernel; see ops.neighbors/ops.pallas_forces).
-        `cache` is an optional prebuilt `neighbor_cache` result (amortized
-        rebuilds); positions/headings are re-packed every step either way.
-        """
+    def pack_pair_fields(self, state: AgentState, npad: int | None = None):
+        """(src_pack [npad, 16], recv_pack [8, npad]) for the tile kernels
+        (ops.pallas_forces layout), padded to `npad` agents with inactive
+        rows parked at the first agent's position (NON-DEGENERATE field
+        params: sigma = 0 rows would divide by zero inside force tiles
+        even though they are masked; f_0 = 0 means they emit nothing)."""
         from cyclistsocialforce_tpu.ops import pallas_forces as PF
 
-        cfg = self.neighbors
         n = state.n
-        blk = cfg.block
-        npad = ((n + blk - 1) // blk) * blk
+        npad = n if npad is None else npad
         dtype = state.s.dtype
 
         def b(field):
@@ -560,9 +575,6 @@ class Engine(struct.PyTreeNode):
                                                     - len(recv_rows)),
             axis=0)
         if npad != n:
-            # inactive padding agents parked at the domain corner, with
-            # NON-DEGENERATE field params (sigma = 0 rows would divide by
-            # zero inside force tiles even though they are masked)
             pad = npad - n
             src_pad = jnp.zeros((pad, PF.SRC_COLS), dtype)
             src_pad = src_pad.at[:, 0].set(x[0]).at[:, 1].set(y[0])
@@ -573,6 +585,49 @@ class Engine(struct.PyTreeNode):
             recv_pad = jnp.zeros((PF.RECV_ROWS, pad), dtype)
             recv_pad = recv_pad.at[0].set(x[0]).at[1].set(y[0])
             recv_pack = jnp.concatenate([recv_pack, recv_pad], axis=1)
+        return src_pack, recv_pack
+
+    def pair_kernel_dispatch(self, nbr, valid, src_sorted, recv_sorted,
+                             recv_offset=None, mixed: bool = False):
+        """Run the configured neighbor-tile backend; [2, B*block] sorted
+        forces. src/recv must already be in cell-sorted order."""
+        from cyclistsocialforce_tpu.ops import pallas_forces as PF
+
+        cfg = self.neighbors
+        blk = cfg.block
+        dtype = src_sorted.dtype
+        f32 = lambda a: a.astype(jnp.float32)
+        if cfg.backend == "xla":
+            return PF.pair_forces_neighbors_xla(
+                nbr, valid, src_sorted, recv_sorted, block=blk,
+                priority_p2r=self.priority_p2r, recv_offset=recv_offset,
+                mixed=mixed)
+        if cfg.backend in ("pallas_db", "interpret_db"):
+            return PF.pair_forces_neighbors_db(
+                nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+                priority_p2r=self.priority_p2r,
+                interpret=(cfg.backend == "interpret_db"),
+                cutoff=cfg.cutoff, recv_offset=recv_offset,
+                mixed=mixed).astype(dtype)
+        return PF.pair_forces_neighbors(
+            nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+            priority_p2r=self.priority_p2r,
+            interpret=(cfg.backend == "interpret"),
+            cutoff=cfg.cutoff, recv_offset=recv_offset,
+            mixed=mixed).astype(dtype)
+
+    def repulsive_sum_neighbors(self, state: AgentState, cache=None):
+        """Block-sparse culled pairwise forces (cell sort + neighbor-block
+        table + Pallas tile kernel; see ops.neighbors/ops.pallas_forces).
+        `cache` is an optional prebuilt `neighbor_cache` result (amortized
+        rebuilds); positions/headings are re-packed every step either way.
+        """
+        cfg = self.neighbors
+        n = state.n
+        blk = cfg.block
+        npad = ((n + blk - 1) // blk) * blk
+        dtype = state.s.dtype
+        src_pack, recv_pack = self.pack_pair_fields(state, npad)
 
         if cache is None:
             cache = self.neighbor_cache(state)
@@ -580,23 +635,7 @@ class Engine(struct.PyTreeNode):
         src_sorted = src_pack[perm]
         recv_sorted = recv_pack[:, perm]
 
-        f32 = lambda a: a.astype(jnp.float32)
-        if cfg.backend == "xla":
-            out = PF.pair_forces_neighbors_xla(
-                nbr, valid, src_sorted, recv_sorted, block=blk,
-                priority_p2r=self.priority_p2r)
-        elif cfg.backend in ("pallas_db", "interpret_db"):
-            out = PF.pair_forces_neighbors_db(
-                nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
-                priority_p2r=self.priority_p2r,
-                interpret=(cfg.backend == "interpret_db"),
-                cutoff=cfg.cutoff).astype(dtype)
-        else:
-            out = PF.pair_forces_neighbors(
-                nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
-                priority_p2r=self.priority_p2r,
-                interpret=(cfg.backend == "interpret"),
-                cutoff=cfg.cutoff).astype(dtype)
+        out = self.pair_kernel_dispatch(nbr, valid, src_sorted, recv_sorted)
         fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
         fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
         return fx, fy
@@ -657,13 +696,17 @@ class Engine(struct.PyTreeNode):
         return merged.replace(i=i, pos_hist=pos_hist)
 
     # device-resident per-step metrics (SURVEY.md section 5): columns of
-    # the [T, 7] buffer returned by simulate(record_metrics=True)
+    # the [T, 8] buffer returned by simulate(record_metrics=True).
+    # nbr_overflow counts receiver blocks whose true neighbor-block count
+    # exceeded the NeighborConfig kb capacity (farthest blocks silently
+    # dropped) at the last table rebuild -- nonzero means the culled
+    # forces are TRUNCATED and kb must be raised.
     METRIC_NAMES = ("n_active", "v_mean", "v_max", "roll_max", "f_mean",
-                    "f_max", "arrived_frac")
+                    "f_max", "arrived_frac", "nbr_overflow")
 
     @staticmethod
-    def step_metrics(state: AgentState, fx, fy):
-        """Aggregate population metrics for one step ([7] device floats;
+    def step_metrics(state: AgentState, fx, fy, nbr_overflow=0.0):
+        """Aggregate population metrics for one step ([8] device floats;
         the structured replacement for the reference's print-based
         observability, SURVEY.md section 5)."""
         act = state.active
@@ -680,6 +723,7 @@ class Engine(struct.PyTreeNode):
             jnp.sum(fmag * w) / n,
             jnp.max(jnp.where(act, fmag, 0.0)),
             jnp.sum(state.znav[:, 2].astype(w.dtype) * w) / n,
+            jnp.asarray(nbr_overflow, dtype=w.dtype),
         ])
 
     def step_with_forces(self, state: AgentState, nbr_cache=None):
@@ -708,9 +752,12 @@ class Engine(struct.PyTreeNode):
         Returns (final_state, traj) where traj is [T, N, 8] recorded states
         (and optionally a (fx, fy) history), or (final_state, None).
         """
-        def out(st, fx, fy):
+        def ovf(cache):
+            return (jnp.sum(cache[3]) if cache is not None else 0.0)
+
+        def out(st, fx, fy, cache=None):
             if record_metrics:
-                return self.step_metrics(st, fx, fy)
+                return self.step_metrics(st, fx, fy, ovf(cache))
             if record and record_forces:
                 return (st.s, fx, fy)
             if record:
@@ -718,8 +765,10 @@ class Engine(struct.PyTreeNode):
             return None
 
         def body(st, _):
-            st, fx, fy = self.step_with_forces(st)
-            return st, out(st, fx, fy)
+            cache = (self.neighbor_cache(st)
+                     if self.neighbors is not None else None)
+            st, fx, fy = self.step_with_forces(st, cache)
+            return st, out(st, fx, fy, cache)
 
         k = (self.neighbors.rebuild_every
              if self.neighbors is not None else 1)
@@ -733,7 +782,7 @@ class Engine(struct.PyTreeNode):
 
             def inner(st, _):
                 st, fx, fy = self.step_with_forces(st, cache)
-                return st, out(st, fx, fy)
+                return st, out(st, fx, fy, cache)
 
             return jax.lax.scan(inner, st, None, length=k)
 

@@ -87,7 +87,7 @@ def neighbor_block_table(bboxes, cutoff, kb: int):
     # rank by distance; out-of-range blocks pushed to +inf
     ranked = jnp.where(within, d2, BIG)
     order = jnp.argsort(ranked, axis=1)[:, :kb].astype(jnp.int32)
-    dsel = jnp.take_along_axis(ranked, order.astype(jnp.int64), axis=1)
+    dsel = jnp.take_along_axis(ranked, order, axis=1)
     valid = dsel < BIG
     overflow = jnp.sum(within, axis=1) > kb
     nbr = jnp.where(valid, order, jnp.arange(

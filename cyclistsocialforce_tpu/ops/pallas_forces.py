@@ -31,13 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 SRC_COLS = 16
 RECV_ROWS = 8
 
-# src_pack column layout
-_SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT = \
-    range(13)
+# src_pack column layout. In MIXED mode (heterogeneous force families,
+# mixed.py) column _FAM selects the source's field per row: 0 = twod
+# (cols 4-10 = f_0, e_0, e_1, sigma_0..3), 1 = legacy (cols 4-7 reused as
+# amp = p_0/p_decay, e, 1/sqrt(1-e^2), 1/p_decay; cols 8-10 MUST be 0 so
+# the shared `sigma > 0` emit mask stays true for legacy rows).
+_SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT, \
+    _FAM = range(14)
 
 
-def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
-                 *, block: int, priority_p2r: bool, cutoff2: float):
+def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
+                 *, block: int, priority_p2r: bool, cutoff2: float,
+                 mixed: bool = False):
     b = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -56,51 +61,67 @@ def _pair_kernel(nbr_ref, valid_ref, src_ref, recv_ref, out_ref,
 
         @pl.when(rho2_min <= cutoff2)
         def _inner():
-            fx, fy = _tile_forces(src_ref, recv_ref, nbr_ref[b, k], b,
-                                  block, priority_p2r)
+            fx, fy = _tile_forces(src_ref, recv_ref, nbr_ref[b, k],
+                                  b + roff_ref[0], block, priority_p2r,
+                                  mixed=mixed)
             out_ref[0:1, :] += fx
             out_ref[1:2, :] += fy
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
-                                             "interpret", "cutoff"))
+                                             "interpret", "cutoff",
+                                             "mixed"))
 def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                           priority_p2r: bool = False,
                           interpret: bool = False,
-                          cutoff: float = float("inf")):
+                          cutoff: float = float("inf"),
+                          recv_offset=None, mixed: bool = False):
     """Block-sparse pairwise force sum.
 
-    nbr, valid : [B, KB] neighbor-block table (ops.neighbors)
-    src_pack   : [N, 16] cell-sorted source fields
-    recv_pack  : [8, N] cell-sorted receiver fields
-    returns    : [2, N] summed (fx, fy) per receiver, sorted order
+    nbr, valid : [B, KB] neighbor-block table (ops.neighbors); `nbr`
+                 indexes SOURCE blocks (which may outnumber the receiver
+                 blocks -- the sharded path all-gathers sources globally
+                 while receivers stay local)
+    src_pack   : [N_src, 16] cell-sorted source fields
+    recv_pack  : [8, B*block] cell-sorted receiver fields
+    recv_offset: optional [1] int32 -- the receiver shard's first block's
+                 index within the source block array (self-pair exclusion
+                 needs source/receiver indices in the same numbering)
+    returns    : [2, B*block] summed (fx, fy) per receiver, sorted order
     """
-    n = src_pack.shape[0]
+    n_src = src_pack.shape[0]
     bcount, kb = nbr.shape
-    assert n == bcount * block
+    n_out = bcount * block
+    assert n_src % block == 0
+    assert recv_pack.shape[1] == n_out
+    if recv_offset is None:
+        recv_offset = jnp.zeros((1,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(bcount, kb),
         in_specs=[
             pl.BlockSpec((block, SRC_COLS),
-                         lambda b, k, nbr_ref, valid_ref:
+                         lambda b, k, nbr_ref, valid_ref, roff_ref:
                          (nbr_ref[b, k], 0)),
             pl.BlockSpec((RECV_ROWS, block),
-                         lambda b, k, nbr_ref, valid_ref: (0, b)),
+                         lambda b, k, nbr_ref, valid_ref, roff_ref: (0, b)),
         ],
         out_specs=pl.BlockSpec((2, block),
-                               lambda b, k, nbr_ref, valid_ref: (0, b)),
+                               lambda b, k, nbr_ref, valid_ref, roff_ref:
+                               (0, b)),
     )
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     kernel = functools.partial(_pair_kernel, block=block,
-                               priority_p2r=priority_p2r, cutoff2=c2)
+                               priority_p2r=priority_p2r, cutoff2=c2,
+                               mixed=mixed)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, n), src_pack.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, n_out), src_pack.dtype),
         interpret=interpret,
-    )(nbr, valid.astype(jnp.int32), src_pack, recv_pack)
+    )(nbr, valid.astype(jnp.int32), recv_offset.astype(jnp.int32),
+      src_pack, recv_pack)
 
 
 # --------------------------------------------------------------------------
@@ -110,9 +131,16 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
 # --------------------------------------------------------------------------
 
 
-def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
+def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r,
+                 mixed: bool = False):
     """[T, T] tile math + mask; returns (fx_row, fy_row) [1, T] sums.
-    Shared by both kernels; src_tile is a [T, 16] VMEM array/ref value."""
+    Shared by both kernels; src_tile is a [T, 16] VMEM array/ref value.
+
+    With mixed=True, each source row's _FAM column selects between the
+    BMD2023 twod field and the legacy v0.1 elliptic field (cols 4-7
+    reinterpreted -- see the layout comment at the top). Both branches are
+    evaluated on the VPU and lane-selected; the legacy math is ~1/3 the
+    twod op count, so the mixed tile costs ~1.3x a pure twod tile."""
     def sc(c):
         return src_tile[:, c:c + 1]
 
@@ -137,6 +165,13 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
     vdecay0 = sc(_S0) + sc(_S1) * sin2
     vdecay1 = sc(_S2) + sc(_S3) * sin2
     e = sc(_E0) - sc(_E1) * sin2
+    if mixed:
+        # the legacy branch reuses cols 4-7; keep the twod branch's
+        # intermediates well-defined on legacy rows (selected away below)
+        legacy = sc(_FAM) > 0.5
+        e = jnp.where(legacy, 0.0, e)
+        vdecay0 = jnp.where(legacy, 1.0, vdecay0)
+        vdecay1 = jnp.where(legacy, 0.0, vdecay1)
 
     cosphi = jnp.clip((dx * cs + dy * ss) * inv_rho, -1.0, 1.0)
     sinphi = (dy * cs - dx * ss) * inv_rho
@@ -154,6 +189,21 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
     fmag2 = frho * frho + fphi * fphi
     inv_fmag = jax.lax.rsqrt(jnp.where(fmag2 > 0, fmag2, 1.0))
     scale = P * inv_fmag * inv_rho
+    fx_pair = scale * (frho * dx - fphi * dy)
+    fy_pair = scale * (frho * dy + fphi * dx)
+
+    if mixed:
+        # legacy v0.1 elliptic field (ops.forces.rep_force_legacy_pair):
+        # cols: _F0 = amp, _E0 = e, _E1 = 1/sqrt(1-e^2), _S0 = 1/p_decay
+        e_l, inv_se, inv_pd = sc(_E0), sc(_E1), sc(_S0)
+        u = (1 - e_l * cosphi) * inv_se
+        P_l = sc(_F0) * jnp.exp(-rho * u * inv_pd)
+        frho0 = P_l * u
+        fphi0 = P_l * e_l * sinphi * inv_se
+        fx_pair = jnp.where(legacy, (frho0 * dx - fphi0 * dy) * inv_rho,
+                            fx_pair)
+        fy_pair = jnp.where(legacy, (frho0 * dy + fphi0 * dx) * inv_rho,
+                            fy_pair)
 
     rho_cos_rel = -(dx * cr + dy * sr)
     tracked = rho_cos_rel * inv_rho >= sc(_CHF)
@@ -169,19 +219,18 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r):
     tracked &= (sc(_SACT) > 0) & (act_r > 0)
     tracked &= (sc(_F0) > 0) & (sigma > 0)
 
-    fx = jnp.sum(jnp.where(tracked, scale * (frho * dx - fphi * dy), 0.0),
-                 axis=0, keepdims=True)
-    fy = jnp.sum(jnp.where(tracked, scale * (frho * dy + fphi * dx), 0.0),
-                 axis=0, keepdims=True)
+    fx = jnp.sum(jnp.where(tracked, fx_pair, 0.0), axis=0, keepdims=True)
+    fy = jnp.sum(jnp.where(tracked, fy_pair, 0.0), axis=0, keepdims=True)
     return fx, fy
 
 
 _DB_DEPTH = 4   # DMA pipeline depth (slots prefetched ahead)
 
 
-def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
-                    scratch, sems, *, block: int, kb: int,
-                    priority_p2r: bool, cutoff2: float):
+def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
+                    out_ref, scratch, sems, *, block: int, kb: int,
+                    priority_p2r: bool, cutoff2: float,
+                    mixed: bool = False):
     b = pl.program_id(0)
     depth = _DB_DEPTH
 
@@ -210,7 +259,8 @@ def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
             @pl.when(jnp.min(dx * dx + dy * dy) <= cutoff2)
             def _inner():
                 fx, fy = _tile_forces(tile, recv_ref, nbr_ref[b, k],
-                                      b, block, priority_p2r)
+                                      b + roff_ref[0], block, priority_p2r,
+                                      mixed=mixed)
                 out_ref[0:1, :] += fx
                 out_ref[1:2, :] += fy
 
@@ -225,35 +275,42 @@ def _pair_kernel_db(nbr_ref, valid_ref, src_hbm, recv_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
-                                             "interpret", "cutoff"))
+                                             "interpret", "cutoff",
+                                             "mixed"))
 def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
                              block: int = 256, priority_p2r: bool = False,
                              interpret: bool = False,
-                             cutoff: float = float("inf")):
+                             cutoff: float = float("inf"),
+                             recv_offset=None, mixed: bool = False):
     """Double-buffered block-sparse pairwise force sum (grid = receiver
     blocks only; neighbor tiles stream through a 2-slot VMEM scratch).
 
     HBM->VMEM DMAs need the minor dimension aligned to 128 lanes, so the
     source pack is padded from 16 to 128 columns here (bandwidth cost
     ~0.5 ms/step at N = 100k; the grid-overhead savings dominate)."""
-    n = src_pack.shape[0]
+    n_src = src_pack.shape[0]
     bcount, kb = nbr.shape
-    assert n == bcount * block
+    n_out = bcount * block
+    assert n_src % block == 0
+    assert recv_pack.shape[1] == n_out
+    if recv_offset is None:
+        recv_offset = jnp.zeros((1,), jnp.int32)
     if src_pack.shape[1] < 128:
         src_pack = jnp.concatenate(
-            [src_pack, jnp.zeros((n, 128 - src_pack.shape[1]),
+            [src_pack, jnp.zeros((n_src, 128 - src_pack.shape[1]),
                                  src_pack.dtype)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(bcount,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # src stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # src stays in HBM
             pl.BlockSpec((RECV_ROWS, block),
-                         lambda b, nbr_ref, valid_ref: (0, b)),
+                         lambda b, nbr_ref, valid_ref, roff_ref: (0, b)),
         ],
         out_specs=pl.BlockSpec((2, block),
-                               lambda b, nbr_ref, valid_ref: (0, b)),
+                               lambda b, nbr_ref, valid_ref, roff_ref:
+                               (0, b)),
         scratch_shapes=[
             pltpu.VMEM((_DB_DEPTH, block, 128), src_pack.dtype),
             pltpu.SemaphoreType.DMA((_DB_DEPTH,)),
@@ -261,13 +318,15 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
     )
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     kernel = functools.partial(_pair_kernel_db, block=block, kb=kb,
-                               priority_p2r=priority_p2r, cutoff2=c2)
+                               priority_p2r=priority_p2r, cutoff2=c2,
+                               mixed=mixed)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, n), src_pack.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, n_out), src_pack.dtype),
         interpret=interpret,
-    )(nbr, valid.astype(jnp.int32), src_pack, recv_pack)
+    )(nbr, valid.astype(jnp.int32), recv_offset.astype(jnp.int32),
+      src_pack, recv_pack)
 
 
 # --------------------------------------------------------------------------
@@ -278,14 +337,21 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
 
 def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
                               block: int = 128,
-                              priority_p2r: bool = False):
-    """Gather-based evaluation of the identical block-sparse structure."""
+                              priority_p2r: bool = False,
+                              recv_offset=None, mixed: bool = False):
+    """Gather-based evaluation of the identical block-sparse structure.
+
+    With mixed=True, the per-row _FAM column selects the twod or legacy
+    field (same packing contract as the Pallas kernels)."""
     from cyclistsocialforce_tpu.ops import forces as F
 
-    n = src_pack.shape[0]
+    n = recv_pack.shape[1]
     bcount, kb = nbr.shape
+    n_src = src_pack.shape[0]
+    roff = (jnp.zeros((), jnp.int32) if recv_offset is None
+            else recv_offset.reshape(()).astype(jnp.int32))
 
-    src_blocks = src_pack.reshape(bcount, block, SRC_COLS)
+    src_blocks = src_pack.reshape(n_src // block, block, SRC_COLS)
     gathered = src_blocks[nbr]            # [B, KB, T, C]
     src = gathered.reshape(bcount, kb * block, SRC_COLS)
 
@@ -293,16 +359,32 @@ def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
 
     idx_src = (nbr[:, :, None] * block
                + jnp.arange(block)[None, None, :]).reshape(bcount, -1)
-    idx_recv = (jnp.arange(bcount)[:, None] * block
+    idx_recv = ((roff + jnp.arange(bcount))[:, None] * block
                 + jnp.arange(block)[None, :])
     vmask = jnp.repeat(valid, block, axis=1)               # [B, KB*T]
 
     def per_block(s, r, isrc, irecv, vm):
+        if mixed:
+            legacy = s[:, 13:14] > 0.5
+            e0 = jnp.where(legacy, 0.0, s[:, 5:6])
+            e1 = jnp.where(legacy, 0.0, s[:, 6:7])
+            s0 = jnp.where(legacy, 1.0, s[:, 7:8])
+            s1 = jnp.where(legacy, 0.0, s[:, 8:9])
+        else:
+            e0, e1, s0, s1 = s[:, 5:6], s[:, 6:7], s[:, 7:8], s[:, 8:9]
         fpx, fpy = F.rep_force_twod_pair(
             r[None, :, 0] - s[:, 0:1], r[None, :, 1] - s[:, 1:2],
             s[:, 2:3], s[:, 3:4], r[None, :, 2], r[None, :, 3],
-            s[:, 4:5], s[:, 5:6], s[:, 6:7], s[:, 7:8], s[:, 8:9],
+            s[:, 4:5], e0, e1, s0, s1,
             s[:, 9:10], s[:, 10:11])
+        if mixed:
+            # legacy rows: cols 4-7 = amp, e, 1/sqrt(1-e^2), 1/p_decay
+            lx, ly = F.rep_force_legacy_pair(
+                r[None, :, 0] - s[:, 0:1], r[None, :, 1] - s[:, 1:2],
+                s[:, 2:3], s[:, 3:4], s[:, 5:6], s[:, 6:7], s[:, 7:8],
+                s[:, 4:5])
+            fpx = jnp.where(legacy, lx, fpx)
+            fpy = jnp.where(legacy, ly, fpy)
         dxs = s[:, 0:1] - r[None, :, 0]
         dys = s[:, 1:2] - r[None, :, 1]
         rho = jnp.sqrt(dxs**2 + dys**2)

@@ -100,8 +100,9 @@ def _repulsive_ring(engine, lstate, axis):
     src0 = engine._src_bundle(lstate)
     # mark replicated initializers as device-varying so the scan carry
     # types stay consistent once per-device data mixes in
-    hfov0 = jax.lax.pvary(
-        jnp.broadcast_to(jnp.asarray(engine.params.hfov), (nl,)), axis)
+    hfov0 = jax.lax.pcast(
+        jnp.broadcast_to(jnp.asarray(engine.params.hfov), (nl,)), axis,
+        to="varying")
     block0 = (*src0, lstate.active, hfov0,
               jnp.asarray(d, dtype=jnp.int32))
 
@@ -124,13 +125,128 @@ def _repulsive_ring(engine, lstate, axis):
         raise ValueError("the ring schedule accumulates partial SUMS per "
                          "hop; custom rep_reduce hooks need 'allgather'")
 
-    zeros = jax.lax.pvary(jnp.zeros((nl,), dtype=lstate.s.dtype), axis)
+    zeros = jax.lax.pcast(jnp.zeros((nl,), dtype=lstate.s.dtype), axis,
+                          to="varying")
     (block, frx, fry), _ = jax.lax.scan(
         hop, (block0, zeros, zeros), None, length=size)
     return frx, fry
 
 
 _REP_COMMS = {"allgather": _repulsive_allgather, "ring": _repulsive_ring}
+
+
+# --------------------------------------------------------------------------
+# spatially-culled sharded pair stage: local receivers, all-gathered
+# sources, block-sparse neighbor-table evaluation (the multi-chip
+# composition of ops.neighbors + ops.pallas_forces)
+# --------------------------------------------------------------------------
+
+
+def _neighbor_cache_sharded(engine, lstate, axis):
+    """Per-device culling structure against the GLOBAL source blocks.
+
+    Each device cell-sorts its local shard into `block`-agent blocks,
+    all-gathers every device's block bounding boxes (a few floats per
+    block -- not the agents), and builds its local receivers' fixed-width
+    neighbor-block table indexing the global block array. Returns
+    (perm [npad_l], nbr [B_l, KB], valid, overflow) -- `nbr` entries are
+    GLOBAL block indices (device d's blocks live at [d*B_l, (d+1)*B_l)).
+    """
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    cfg = engine.neighbors
+    nl = lstate.n
+    blk = cfg.block
+    npad = ((nl + blk - 1) // blk) * blk
+    x, y = lstate.s[:, X], lstate.s[:, Y]
+    if npad != nl:
+        x = jnp.concatenate([x, jnp.full((npad - nl,), x[0], dtype=x.dtype)])
+        y = jnp.concatenate([y, jnp.full((npad - nl,), y[0], dtype=y.dtype)])
+    cut = cfg.cutoff + cfg.skin
+    perm = NB.sort_by_cell(x, y, cut)
+    xs, ys = x[perm], y[perm]
+    boxes_local = NB.block_bboxes(xs, ys, blk)                 # [B_l, 4]
+    boxes_glob = jax.lax.all_gather(boxes_local, axis, tiled=True)
+    d2 = NB.bbox_distance2(boxes_local, boxes_glob)            # [B_l, B_g]
+    within = d2 <= cut * cut
+    ranked = jnp.where(within, d2, NB.BIG)
+    order = jnp.argsort(ranked, axis=1)[:, :cfg.kb].astype(jnp.int32)
+    dsel = jnp.take_along_axis(ranked, order, axis=1)
+    valid = dsel < NB.BIG
+    overflow = jnp.sum(within, axis=1) > cfg.kb
+    nbr = jnp.where(valid, order, 0)
+    return perm, nbr, valid, overflow
+
+
+def _repulsive_neighbors(engine, lstate, axis, cache=None):
+    """Culled sharded pair forces: pack + sort local agents, all-gather
+    the sorted source packs over ICI, evaluate only the neighbor-table
+    tiles against the local receivers. Compute is O(N * density / D) per
+    device -- the single-chip culled path divided by the mesh size --
+    with one [N, 16] all_gather per step as the only collective."""
+    cfg = engine.neighbors
+    nl = lstate.n
+    blk = cfg.block
+    npad = ((nl + blk - 1) // blk) * blk
+    dtype = lstate.s.dtype
+    d = jax.lax.axis_index(axis)
+
+    if cache is None:
+        cache = _neighbor_cache_sharded(engine, lstate, axis)
+    perm, nbr, valid = cache[0], cache[1], cache[2]
+
+    src_pack, recv_pack = engine.pack_pair_fields(lstate, npad)
+    src_sorted = src_pack[perm]
+    recv_sorted = recv_pack[:, perm]
+    src_glob = jax.lax.all_gather(src_sorted, axis, tiled=True)
+
+    roff = (d * (npad // blk)).astype(jnp.int32)[None]
+    out = engine.pair_kernel_dispatch(nbr, valid, src_glob, recv_sorted,
+                                      recv_offset=roff)
+    fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:nl]
+    fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:nl]
+    return fx, fy
+
+
+def _check_sharded_support(engine, comm):
+    if engine.scripted is not None:
+        raise ValueError(
+            "scripted agents are not supported under shard_map (the "
+            "replay table is indexed with GLOBAL agent indices; a local "
+            "shard would replay the wrong rows) -- run scripted scenarios "
+            "single-device")
+    if engine.rep_reduce is not None and (comm == "ring"
+                                          or engine.neighbors is not None):
+        raise ValueError("custom rep_reduce hooks accumulate partial sums "
+                         "per hop/tile; only comm='allgather' without "
+                         "neighbor culling supports them under shard_map")
+
+
+def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None):
+    """One sharded step on the local shard (the shard_map body shared by
+    sharded_step_fn / sharded_simulate_fn). Mirrors Engine.step_with_forces
+    incl. the engine's combine_forces hook."""
+    before = lstate
+    fdx, fdy, lstate = engine.dest_force(engine.params, lstate)
+
+    if engine.rep_force is not None:
+        if engine.neighbors is not None:
+            frx, fry = _repulsive_neighbors(engine, lstate, axis, nbr_cache)
+        else:
+            frx, fry = rep_comm(engine, lstate, axis)
+        combine = engine.combine_forces or F.clamp_add_dest
+        fx, fy = combine(frx, fry, fdx, fdy)
+    else:
+        fx, fy = fdx, fdy
+
+    if engine.road is not None:
+        rx, ry = F.road_edge_force(
+            lstate.s[:, X], lstate.s[:, Y], engine.road.vertices,
+            engine.road.weights, engine.road.F_0, engine.road.sigma)
+        fx, fy = fx + rx, fy + ry
+
+    new = engine.model_step(engine.params, lstate, fx, fy)
+    return engine.finish_step(before, new), fx, fy
 
 
 def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
@@ -141,28 +257,17 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
     parameters consumed by the pairwise stage (f_0, sigma_*, hfov, ...)
     must be scalars (population-shared) in sharded mode; per-agent
     destination/dynamics parameters are fine (they shard with the agents).
+
+    With `engine.neighbors` set, the pair stage runs the spatially-culled
+    block-sparse path per device (local cell sort + gathered block-bbox
+    neighbor table + tile kernel) instead of the dense `comm` schedule.
     """
+    _check_sharded_support(engine, comm)
     specs = state_pspecs(axis)
     rep_comm = _REP_COMMS[comm]
 
     def local_step(lstate: AgentState):
-        before = lstate
-        fdx, fdy, lstate = engine.dest_force(engine.params, lstate)
-
-        if engine.rep_force is not None:
-            frx, fry = rep_comm(engine, lstate, axis)
-            fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
-        else:
-            fx, fy = fdx, fdy
-
-        if engine.road is not None:
-            rx, ry = F.road_edge_force(
-                lstate.s[:, X], lstate.s[:, Y], engine.road.vertices,
-                engine.road.weights, engine.road.F_0, engine.road.sigma)
-            fx, fy = fx + rx, fy + ry
-
-        new = engine.model_step(engine.params, lstate, fx, fy)
-        out = engine.finish_step(before, new)
+        out, fx, fy = _local_step(engine, axis, rep_comm, lstate)
         if with_forces:
             return out, fx, fy
         return out
@@ -176,29 +281,45 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
                         axis: str = AGENT_AXIS, record: bool = False,
                         comm: str = "allgather"):
     """Build a jittable `n_steps`-scan over the sharded step (scan inside
-    shard_map: one collective program, no per-step re-entry)."""
+    shard_map: one collective program, no per-step re-entry).
+
+    With `engine.neighbors` set, the culled per-device neighbor structure
+    is rebuilt every `rebuild_every` steps (skin-extended cutoff keeps the
+    stale table conservative in between), mirroring Engine.simulate."""
+    _check_sharded_support(engine, comm)
     specs = state_pspecs(axis)
     rep_comm = _REP_COMMS[comm]
 
     def local_run(lstate: AgentState):
         def body(st, _):
-            before = st
-            fdx, fdy, st = engine.dest_force(engine.params, st)
-            if engine.rep_force is not None:
-                frx, fry = rep_comm(engine, st, axis)
-                fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
-            else:
-                fx, fy = fdx, fdy
-            if engine.road is not None:
-                rx, ry = F.road_edge_force(
-                    st.s[:, X], st.s[:, Y], engine.road.vertices,
-                    engine.road.weights, engine.road.F_0, engine.road.sigma)
-                fx, fy = fx + rx, fy + ry
-            new = engine.model_step(engine.params, st, fx, fy)
-            out = engine.finish_step(before, new)
+            out, fx, fy = _local_step(engine, axis, rep_comm, st)
             return out, (out.s if record else None)
 
-        return jax.lax.scan(body, lstate, None, length=n_steps)
+        k = (engine.neighbors.rebuild_every
+             if engine.neighbors is not None else 1)
+        if k <= 1 or n_steps < k:
+            return jax.lax.scan(body, lstate, None, length=n_steps)
+
+        n_chunks, rem = divmod(n_steps, k)
+
+        def chunk(st, _):
+            cache = _neighbor_cache_sharded(engine, st, axis)
+
+            def inner(st, _):
+                out, fx, fy = _local_step(engine, axis, rep_comm, st,
+                                          nbr_cache=cache)
+                return out, (out.s if record else None)
+
+            return jax.lax.scan(inner, st, None, length=k)
+
+        st, recs = jax.lax.scan(chunk, lstate, None, length=n_chunks)
+        if record:
+            recs = recs.reshape((n_chunks * k,) + recs.shape[2:])
+        if rem:
+            st, tail = jax.lax.scan(body, st, None, length=rem)
+            if record:
+                recs = jnp.concatenate([recs, tail], axis=0)
+        return st, recs
 
     out_specs = (specs, P(None, axis) if record else None)
     return jax.jit(jax.shard_map(local_run, mesh=mesh, in_specs=(specs,),

@@ -122,3 +122,131 @@ def test_chunk_must_divide():
     eng_c = eng.replace(rep_chunk=3)
     with pytest.raises(ValueError):
         eng_c.step(st)
+
+
+def _setup_culled(n, kb=None, rebuild_every=4, block=16):
+    """Population on a domain LARGER than the cutoff (so culling actually
+    drops tiles), with a kb sized for zero overflow unless given."""
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+    from cyclistsocialforce_tpu.state import set_destinations
+
+    rng = np.random.default_rng(1)
+    side = 0.5 * np.sqrt(n / 0.02)   # bench density
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-side, side, n)
+    s0[:, 1] = rng.uniform(-side, side, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    for a in range(n):
+        st = set_destinations(st, a, (rng.uniform(-side, side),),
+                              (rng.uniform(-side, side),))
+    p = BicycleParams.create()
+    nbr = NeighborConfig(cutoff=60.0, block=block, kb=kb or (n // block),
+                         backend="xla", rebuild_every=rebuild_every)
+    eng_dense = Engine.create(p, MODELS["bicycle2d"], rep_force="twod")
+    eng_culled = Engine.create(p, MODELS["bicycle2d"], rep_force="twod",
+                               neighbors=nbr)
+    return eng_dense, eng_culled, st
+
+
+def test_sharded_culled_matches_dense():
+    """The spatially-culled shard_map path (local cell sort + gathered
+    block bboxes + neighbor-table tiles) matches the single-device dense
+    run within the cutoff-truncation tolerance."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n = 512
+    eng_dense, eng_culled, st = _setup_culled(n)
+    n_steps = 12
+
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng_dense, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng_culled, mesh, n_steps, record=False)
+    out, _ = run(shard_state(st, mesh))
+    # cutoff truncation accumulates over the horizon; stay well inside the
+    # 1e-3 m parity tolerance
+    np.testing.assert_allclose(np.asarray(out.s[:, :2]),
+                               np.asarray(ref.s[:, :2]), atol=2e-5)
+
+    # one-step variant with forces
+    from cyclistsocialforce_tpu.parallel import sharded_step_fn
+    ref1, fxr, fyr = jax.jit(lambda e, s: e.step_with_forces(s))(
+        eng_dense, st)
+    step = sharded_step_fn(eng_culled, mesh, with_forces=True)
+    out1, fx, fy = step(shard_state(st, mesh))
+    # forces differ by at most the culled field's dropped-force bound
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out1.s), np.asarray(ref1.s),
+                               atol=1e-6)
+
+
+def test_sharded_culled_matches_single_device_culled():
+    """Same culled configuration, 8 devices vs 1: identical block-sparse
+    truncation semantics -> near-identical trajectories."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n = 256
+    _, eng_culled, st = _setup_culled(n)
+    n_steps = 16
+
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng_culled, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng_culled, mesh, n_steps, record=False)
+    out, _ = run(shard_state(st, mesh))
+    # different block partitions -> different fringe truncation; both are
+    # within the cutoff bound of dense, so they agree to that tolerance
+    np.testing.assert_allclose(np.asarray(out.s[:, :2]),
+                               np.asarray(ref.s[:, :2]), atol=2e-5)
+
+
+def test_sharded_rejects_scripted_and_ring_rep_reduce():
+    from cyclistsocialforce_tpu.engine import ScriptedTraj
+    from cyclistsocialforce_tpu.parallel import make_mesh, sharded_step_fn
+
+    eng, st = _setup(16)
+    mesh = make_mesh()
+    eng_scripted = eng.replace(
+        scripted=ScriptedTraj.create(16, {0: np.zeros((4, 5))}))
+    with pytest.raises(ValueError, match="scripted"):
+        sharded_step_fn(eng_scripted, mesh)
+
+    def custom_reduce(fx, fy, mask):
+        return (jnp.max(jnp.where(mask, fx, 0.0), axis=0),
+                jnp.max(jnp.where(mask, fy, 0.0), axis=0))
+
+    import jax.numpy as jnp
+    eng_red = eng.replace(rep_reduce=custom_reduce)
+    with pytest.raises(ValueError, match="rep_reduce"):
+        sharded_step_fn(eng_red, mesh, comm="ring")
+
+
+def test_sharded_honors_combine_forces():
+    """A custom combine_forces hook (e.g. the Kaths external model's
+    no-clamp combination) must shape the sharded physics exactly like the
+    single-device engine."""
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_step_fn)
+
+    def no_clamp(frx, fry, fdx, fdy):
+        return frx + fdx, fry + fdy
+
+    eng, st = _setup(4 * len(jax.devices()))
+    eng = eng.replace(combine_forces=no_clamp)
+
+    ref, fxr, fyr = jax.jit(lambda e, s: e.step_with_forces(s))(eng, st)
+    mesh = make_mesh()
+    step = sharded_step_fn(eng, mesh, with_forces=True)
+    out, fx, fy = step(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               atol=1e-12)
