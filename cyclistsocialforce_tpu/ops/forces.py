@@ -141,6 +141,21 @@ def legacy_excentricity(v_src, v_max_riding_fwd):
     return jnp.minimum(jnp.power(v / v_max_riding_fwd, 0.1), 0.7)
 
 
+def potential_legacy(dx, dy, psi_src, v_src, v_max_riding_fwd,
+                     p_0, p_decay):
+    """Legacy elliptic repulsive POTENTIAL of a source agent evaluated at
+    offsets (dx, dy) from it (reference Bicycle.calcPotential,
+    vehicle.py:1066-1104): P = p_0 exp(-rho (1 - e cos phi0) /
+    (sqrt(1 - e^2) p_decay)) with the speed-dependent excentricity e."""
+    e = legacy_excentricity(v_src, v_max_riding_fwd)
+    inv_se = 1.0 / jnp.sqrt(1 - e**2)
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(rho > 0, rho, 1.0)
+    cosphi0 = (dx * jnp.cos(psi_src) + dy * jnp.sin(psi_src)) / safe
+    u = (1 - e * jnp.where(rho > 0, cosphi0, 1.0)) * inv_se
+    return p_0 * jnp.exp(-rho * u / p_decay)
+
+
 def rep_force_legacy(dx, dy, psi_src, v_src, v_max_riding_fwd,
                      p_0, p_decay):
     """Reference-signature wrapper of `rep_force_legacy_pair`
@@ -259,13 +274,21 @@ def dest_force_straight(x, y, dest_x, dest_y, vd, ddest):
 def dest_force_hm(fx_straight, fy_straight, v, psi, v_desired,
                   relax: float = 3.0):
     """Helbing-Molnar acceleration-semantics destination force
-    (reference vehicle.py:1196-1216)."""
+    (reference vehicle.py:1196-1216): relaxation of the current velocity
+    toward v_desired along the straight-line direction.
+
+    Divergence from the reference (degenerate case only): at the
+    destination the straight force is zero and the reference divides
+    0/0 -> NaN (vehicle.py:1203-1205 has no guard); here the force is 0.
+    """
     r = jnp.sqrt(fx_straight**2 + fy_straight**2)
-    ex = fx_straight / r
-    ey = fy_straight / r
+    safe = jnp.where(r > 0, r, 1.0)
+    ex = fx_straight / safe
+    ey = fy_straight / safe
     fx = (1 / relax) * (v_desired * ex - v * jnp.cos(psi))
     fy = (1 / relax) * (v_desired * ey - v * jnp.sin(psi))
-    return fx, fy
+    zero = jnp.zeros_like(fx)
+    return jnp.where(r > 0, fx, zero), jnp.where(r > 0, fy, zero)
 
 
 # --------------------------------------------------------------------------

@@ -314,6 +314,52 @@ def gen_parcours_twod(n_steps=2800):
     save("parcours_twod.npz", [b], n_steps)
 
 
+def gen_hm_single(n_steps=1500):
+    """Single Bicycle driven by the Helbing-Molnar destination-force
+    variant (reference vehicle.py:1196-1216). The reference cannot select
+    HM through the intersection (Bicycle.calcDestinationForce is a hard
+    override, vehicle.py:1189-1194), so this steps the vehicle directly --
+    exactly what the framework's dest_force="hm" engine does for a
+    population without repulsion."""
+    from cyclistsocialforce.vehicle import Bicycle
+
+    b = Bicycle((0, 0, 0, 3, 0), id="hm", saveForces=True)
+    b.params.v_desired_default = 4.0
+    b.setDestinations((20, 40, 40), (0, 10, 11))
+    for k in range(n_steps):
+        try:
+            F1, F2 = b.calcDestinationForceHM()
+            b.step(F1, F2)
+        except Exception as e:
+            print(f"  reference stopped at step {k}: "
+                  f"{type(e).__name__}: {e}")
+            n_steps = k
+            break
+    save("hm_single.npz", [b], n_steps)
+
+
+def gen_field_legacy():
+    """Legacy elliptic potential + repulsive force field of one Bicycle
+    evaluated on a grid (reference Bicycle.calcPotential /
+    calcRepulsiveForce, vehicle.py:1066-1147) -- the oracle for the
+    field-evaluation/plot helpers."""
+    import numpy as np
+    from cyclistsocialforce.vehicle import Bicycle
+
+    b = Bicycle((2.0, 3.0, 0.7, 4.0, 0.0), id="f")
+    gx, gy = np.meshgrid(np.arange(-10.0, 15.0, 0.5),
+                         np.arange(-8.0, 12.0, 0.5))
+    P = b.calcPotential(gx, gy)
+    Fx, Fy = b.calcRepulsiveForce(gx, gy)
+    os.makedirs(GOLDEN, exist_ok=True)
+    path = os.path.join(GOLDEN, "field_legacy.npz")
+    np.savez_compressed(path, s=np.asarray(b.s[:5]), gx=gx, gy=gy,
+                        P=P, Fx=Fx, Fy=Fy,
+                        p_0=b.params.p_0, p_decay=b.params.p_decay,
+                        v_max=b.params.v_max_riding[1])
+    print(f"wrote {path}")
+
+
 SCENARIOS = {
     "encroachment_bicycle2d": gen_encroachment_bicycle2d,
     "encroachment_planarpoint": gen_encroachment_planarpoint,
@@ -326,6 +372,8 @@ SCENARIOS = {
     "kaths_single": gen_kaths_single,
     "parcours_planarpoint": gen_parcours_planarpoint,
     "parcours_twod": gen_parcours_twod,
+    "hm_single": gen_hm_single,
+    "field_legacy": gen_field_legacy,
 }
 
 

@@ -66,3 +66,40 @@ def test_encroachment_bicycle2d_parity():
         # applied forces parity
         np.testing.assert_allclose(fx[:, a], g[f"forces_{a}"][0, 1:],
                                    atol=1e-6, err_msg=f"agent {a} Fx")
+
+
+def test_hm_dest_force_parity():
+    """Helbing-Molnar destination-force variant (reference
+    vehicle.py:1196-1216) selected via dest_force="hm": golden parity of a
+    single Bicycle against the actual reference."""
+    import jax
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams, as_population
+    from cyclistsocialforce_tpu.state import set_destinations
+
+    g = load_golden("hm_single.npz")
+    T = g["traj_0"].shape[1] - 1
+
+    st = make_state(np.array([[0.0, 0, 0, 3, 0]]), dtype=np.float64)
+    st = set_destinations(st, 0, (20, 40, 40), (0, 10, 11))
+    p = as_population(BicycleParams.create(), 1)
+    p = p.replace(v_desired_default=np.array([4.0]))
+    eng = Engine.create(p, MODELS["bicycle2d"], dest_force="hm")
+    final, out = jax.jit(
+        lambda e, s: e.simulate(s, T, record_forces=True))(eng, st)
+    traj, fx, fy = (np.asarray(a) for a in out)
+
+    ref = g["traj_0"]
+    pos_err = np.max(np.hypot(traj[:, 0, 0] - ref[0, 1:],
+                              traj[:, 0, 1] - ref[1, 1:]))
+    assert pos_err < 1e-3, f"max position error {pos_err}"
+    np.testing.assert_allclose(traj[:, 0, 3], ref[3, 1:], atol=1e-6,
+                               err_msg="speed")
+    np.testing.assert_allclose(np.sin(traj[:, 0, 2]), np.sin(ref[2, 1:]),
+                               atol=1e-6, err_msg="yaw")
+    np.testing.assert_allclose(fx[:, 0], g["forces_0"][0, 1:], atol=1e-6,
+                               err_msg="Fx")
+    np.testing.assert_allclose(fy[:, 0], g["forces_0"][1, 1:], atol=1e-6,
+                               err_msg="Fy")
