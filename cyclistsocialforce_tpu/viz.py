@@ -304,3 +304,129 @@ def plot_forces(fx, fy, agent=0, axes=None):
     axes[1].set_ylabel("Fy (desired vy) [m/s]")
     axes[1].set_xlabel("step")
     return axes
+
+
+def eval_force_field(x, y, engine=None, state=None, road=None,
+                     psi_recv=0.0, v_recv=0.0):
+    """Total repulsive force at arbitrary evaluation points.
+
+    Field-evaluation counterpart of the reference's
+    Bicycle.calcRepulsiveForce(x, y) / RoadSegment.calcRepulsiveForce
+    grid semantics (reference vehicle.py:1107-1147,
+    intersection.py:226-242, used by the curve-scenario field plot,
+    scenarios/curve-scenario.py:90-125): sums the fields of all ACTIVE
+    agents (no FOV masking -- the raw emitted field) and of the road
+    edges. The TwoD field depends on the receiver's heading; probe it
+    with `psi_recv` (scalar or array).
+
+    x, y : arrays of any (equal) shape; returns (Fx, Fy) of that shape.
+    """
+    import jax.numpy as jnp
+
+    shape = np.shape(x)
+    xf = jnp.asarray(np.ravel(x), dtype=jnp.float64)
+    yf = jnp.asarray(np.ravel(y), dtype=jnp.float64)
+    m = xf.shape[0]
+    fx = jnp.zeros((m,), xf.dtype)
+    fy = jnp.zeros((m,), xf.dtype)
+
+    if engine is not None and state is not None \
+            and engine.rep_force is not None:
+        recv = (xf, yf,
+                jnp.broadcast_to(jnp.asarray(psi_recv, xf.dtype), (m,)),
+                jnp.broadcast_to(jnp.asarray(v_recv, xf.dtype), (m,)))
+        fpx, fpy = engine.rep_force(engine.params,
+                                    engine._src_bundle(state), recv)
+        w = state.active.astype(xf.dtype)[:, None]
+        fx = fx + jnp.sum(fpx * w, axis=0)
+        fy = fy + jnp.sum(fpy * w, axis=0)
+
+    rd = road if road is not None else (engine.road if engine is not None
+                                        else None)
+    if rd is not None:
+        from cyclistsocialforce_tpu.ops.forces import road_edge_force
+        rx, ry = road_edge_force(xf, yf, rd.vertices, rd.weights,
+                                 rd.F_0, rd.sigma)
+        fx, fy = fx + rx, fy + ry
+    return (np.asarray(fx).reshape(shape), np.asarray(fy).reshape(shape))
+
+
+def plot_force_field(xlim, ylim, engine=None, state=None, road=None,
+                     axes=None, grid_step=0.1, quiver_step=1.0,
+                     f_clip=5.0, slice_y=None, psi_recv=0.0):
+    """Force-field figure after the reference curve scenario
+    (scenarios/curve-scenario.py:90-125): filled contours of the clamped
+    force magnitude, a white quiver overlay on a coarser grid, and an
+    optional 1-D magnitude slice along y = slice_y.
+
+    Returns the axes (one or two, matching the reference's 1x2 layout
+    when slice_y is given)."""
+    import matplotlib.pyplot as plt
+
+    if axes is None:
+        n_ax = 2 if slice_y is not None else 1
+        _, axes = plt.subplots(1, n_ax, squeeze=False)
+        axes = axes[0]
+    ax0 = np.atleast_1d(axes)[0]
+    ax0.set_aspect("equal")
+
+    gx, gy = np.meshgrid(np.arange(xlim[0], xlim[1], grid_step),
+                         np.arange(ylim[0], ylim[1], grid_step))
+    fx, fy = eval_force_field(gx, gy, engine=engine, state=state,
+                              road=road, psi_recv=psi_recv)
+    fmag = np.minimum(np.hypot(fx, fy), f_clip)
+    ax0.contourf(gx, gy, fmag)
+
+    qx, qy = np.meshgrid(np.arange(xlim[0], xlim[1], quiver_step),
+                         np.arange(ylim[0], ylim[1], quiver_step))
+    qfx, qfy = eval_force_field(qx, qy, engine=engine, state=state,
+                                road=road, psi_recv=psi_recv)
+    ax0.quiver(qx, qy, qfx, qfy, color="white")
+    ax0.set_xlim(*xlim)
+    ax0.set_ylim(*ylim)
+
+    if slice_y is not None:
+        ax1 = np.atleast_1d(axes)[1]
+        sx = np.arange(xlim[0], xlim[1], grid_step)
+        sfx, sfy = eval_force_field(sx, np.full_like(sx, slice_y),
+                                    engine=engine, state=state, road=road,
+                                    psi_recv=psi_recv)
+        ax1.plot(sx, np.minimum(np.hypot(sfx, sfy), 2 * f_clip))
+        ax1.set_xlabel("x [m]")
+        ax1.set_ylabel("|F|")
+    return axes
+
+
+def eval_potential_field(x, y, state, params, agent=None):
+    """Legacy elliptic repulsive POTENTIAL of one agent (or the sum over
+    active agents) at arbitrary points -- the field-evaluation counterpart
+    of Bicycle.calcPotential (reference vehicle.py:1066-1104)."""
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu.ops.forces import potential_legacy
+    from cyclistsocialforce_tpu.params import pair_hi
+
+    shape = np.shape(x)
+    xf = jnp.asarray(np.ravel(x), dtype=jnp.float64)
+    yf = jnp.asarray(np.ravel(y), dtype=jnp.float64)
+    s = state.s
+    idx = np.arange(state.n) if agent is None else np.atleast_1d(agent)
+    n = len(idx)
+
+    def b(v):
+        return jnp.broadcast_to(jnp.asarray(v), (state.n,))[
+            jnp.asarray(idx)][:, None]
+
+    dx = xf[None, :] - s[jnp.asarray(idx), 0][:, None]
+    dy = yf[None, :] - s[jnp.asarray(idx), 1][:, None]
+    P = potential_legacy(
+        dx, dy, s[jnp.asarray(idx), 2][:, None],
+        s[jnp.asarray(idx), 3][:, None],
+        b(pair_hi(params.v_max_riding)), b(params.p_0), b(params.p_decay))
+    if agent is None:
+        w = state.active.astype(xf.dtype)[jnp.asarray(idx)][:, None]
+        P = jnp.sum(P * w, axis=0)
+        return np.asarray(P).reshape(shape)
+    if n == 1:
+        return np.asarray(P[0]).reshape(shape)
+    return np.asarray(P).reshape((n,) + shape)

@@ -52,19 +52,18 @@ def main():
     if args.plot_field:
         import matplotlib.pyplot as plt
 
-        from cyclistsocialforce_tpu.ops.forces import road_edge_force
-        gx, gy = np.meshgrid(np.linspace(-5, 35, 40),
-                             np.linspace(-5, 35, 40))
-        fx, fy = road_edge_force(
-            np.ravel(gx), np.ravel(gy), road.vertices, road.weights,
-            road.F_0, road.sigma)
-        plt.quiver(gx, gy, np.asarray(fx).reshape(gx.shape),
-                   np.asarray(fy).reshape(gy.shape))
+        from cyclistsocialforce_tpu.viz import plot_force_field
+
+        # reference-style field figure (scenarios/curve-scenario.py:90-125):
+        # contourf of clamped |F| + white quiver + 1-D slice
+        axes = plot_force_field((-5, 35), (-5, 35), road=road,
+                                grid_step=0.25, quiver_step=1.0,
+                                slice_y=0.0)
+        ax0 = np.atleast_1d(axes)[0]
         for seg in coll.segs:
             for edge in seg.edges:
-                plt.plot(edge[:, 0], edge[:, 1], "k-")
-        plt.gca().set_aspect("equal")
-        plt.title("road-edge force field")
+                ax0.plot(edge[:, 0], edge[:, 1], "k-")
+        ax0.set_title("road-edge force field")
         plt.show()
         return
 

@@ -108,3 +108,59 @@ def test_animate_steps_scenario():
         anim._draw_frame(f)
     assert sc.i == 40   # 1 init frame + 3 frames x 10 steps
     plt.close("all")
+
+
+def test_potential_and_field_golden_parity():
+    """eval_potential_field / eval_force_field match the ACTUAL reference
+    Bicycle.calcPotential / calcRepulsiveForce on a grid (golden
+    field_legacy.npz; reference vehicle.py:1066-1147)."""
+    import pytest
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams, as_population
+    from cyclistsocialforce_tpu.viz import (eval_force_field,
+                                            eval_potential_field)
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "field_legacy.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden field_legacy.npz missing")
+    g = np.load(path)
+
+    s0 = np.zeros((1, 5))
+    s0[0, :5] = g["s"]
+    st = make_state(s0, dtype=np.float64)
+    p = as_population(BicycleParams.create(), 1)
+    eng = Engine.create(p, MODELS["bicycle2d"])   # legacy field
+
+    P = eval_potential_field(g["gx"], g["gy"], st, p, agent=0)
+    ok = np.isfinite(g["P"])   # reference NaNs at rho = 0 (no guard)
+    np.testing.assert_allclose(P[ok], g["P"][ok], atol=1e-12)
+
+    fx, fy = eval_force_field(g["gx"], g["gy"], engine=eng, state=st)
+    ok = np.isfinite(g["Fx"])
+    np.testing.assert_allclose(fx[ok], g["Fx"][ok], atol=1e-12)
+    np.testing.assert_allclose(fy[ok], g["Fy"][ok], atol=1e-12)
+
+
+def test_plot_force_field_renders():
+    """The curve-scenario-style field figure (contourf + quiver + slice)
+    renders headlessly over road + agents."""
+    import numpy as np
+
+    from cyclistsocialforce_tpu.params import RoadElementParams
+    from cyclistsocialforce_tpu.road import (RoadSegmentCollection,
+                                             build_road_elements)
+    from cyclistsocialforce_tpu.viz import plot_force_field
+
+    coll = RoadSegmentCollection.chain(
+        (0.0, 0.0, 0.0), [("straight", 10.0)], width=4.0,
+        params=RoadElementParams.create(F_0=0.5, sigma=2.5))
+    road = build_road_elements([coll])
+    sc = _scenario()
+    axes = plot_force_field((-5, 10), (-5, 10), engine=sc.engine,
+                            state=sc.state, road=road, grid_step=0.5,
+                            quiver_step=2.0, slice_y=0.0)
+    assert len(np.atleast_1d(axes)) == 2
+    plt.close("all")
