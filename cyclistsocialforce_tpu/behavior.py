@@ -714,7 +714,16 @@ class PoleModelRT(struct.PyTreeNode):
         return mu_c, chol_c, w
 
     def sample_features(self, key, v):
-        """One stable, finite pole-feature draw [F-1] conditioned on v.
+        """One stable, finite pole-feature draw [F-1] conditioned on v."""
+        return self.sample_features_info(key, v)[0]
+
+    def sample_features_info(self, key, v):
+        """One stable, finite pole-feature draw [F-1] conditioned on v,
+        plus a bool: True if a rejection-sampled draw succeeded, False if
+        the draw fell back to the most-likely component's conditional mean
+        (all REJECT_ROUNDS draws unstable/non-finite). The fallback
+        frequency is an observable diagnostic -- see
+        tests/test_behavior.py::test_polemodel_rt_fallback_rate.
 
         Fixed-round rejection (finite inverse + stability via sign of the
         'real' features) instead of the reference's unbounded loops.
@@ -755,4 +764,4 @@ class PoleModelRT(struct.PyTreeNode):
             good = good | ok(cand)
         # fallback: conditional mean of the most likely component
         fallback = self.inverse_transform_rest(mu_c[jnp.argmax(w)])
-        return jnp.where(good, best, fallback)
+        return jnp.where(good, best, fallback), good

@@ -79,9 +79,15 @@ def _sysmats(params, n, dtype):
             b(params.br_B_roll, (5,)))
 
 
-def _pole_features(params, state, v, n):
+def _pole_features(params, state, v, n, gate=None):
     """Per-agent pole features at speed v: linear mean functions, or the
-    agent's current stochastic sample held in dyn_gains."""
+    agent's current stochastic sample held in dyn_gains.
+
+    `gate` ([N] bool) restricts resampling (and the committed
+    features/v_last) to agents whose gains are being recomputed this step
+    -- the reference only resamples inside the gain update
+    (dynamics.py:680-681 calling parameters.py:1376-1411), so features
+    committed outside it would go stale relative to the cached K_x."""
     lin = jnp.broadcast_to(jnp.asarray(params.br_pole_lin), (n, 5, 2))
     feats_lin = lin[:, :, 0] + lin[:, :, 1] * v[:, None]
     if not params.stochastic_control_behavior:
@@ -90,6 +96,8 @@ def _pole_features(params, state, v, n):
     thresh_v = _bcast(params, "controlparam_resampling_speedthresh", n)
     v_last = state.dyn_gains[:, _VLAST]
     need = jnp.abs(v - v_last) > thresh_v
+    if gate is not None:
+        need = need & gate
     key, sub = jax.random.split(state.key)
     keys = jax.random.split(sub, n)
     rt = params.polemodel_rt
@@ -159,10 +167,10 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         K = jnp.broadcast_to(jnp.asarray(params.br_gains_fixed, dtype=dtype),
                              (n, 5))
     else:
-        feats, state = _pole_features(params, state, v_mid, n)
+        changed = v_new != v_old
+        feats, state = _pole_features(params, state, v_mid, n, gate=changed)
         K_new = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
             params, A0, A1, A2, B, feats, v_mid)
-        changed = v_new != v_old
         K = jnp.where(changed[:, None], K_new, state.dyn_gains[:, _KX])
 
     # ---- commanded yaw in the bike frame (dynamics.py:652-671)

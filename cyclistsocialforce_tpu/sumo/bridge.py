@@ -59,7 +59,13 @@ class SumoIntersection:
         self.id = junction.id
         self.capacity = capacity
         self.model = MODELS[model_name]
-        base = params or BICYCLE_TYPES["bicycle"][1].create(t_s=t_s)
+        if params is None:
+            # default params must match the model: look the class up by
+            # model name (e.g. balancingrider needs br_* fields that
+            # BicycleParams lacks)
+            by_model = {m: c for m, c in BICYCLE_TYPES.values()}
+            params = by_model.get(model_name, BicycleParams).create(t_s=t_s)
+        base = params
         self.params = as_population(base, capacity)
 
         self.internal_lane_ids = net.internal_lane_ids(junction.id)
