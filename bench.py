@@ -3,10 +3,13 @@
 100,000 cyclists at heavy-bike-traffic density (0.02 agents/m^2, ~7 m mean
 spacing over a 2.2 x 2.2 km area) advance through the COMPLETE pipeline --
 destination force + navigation FSM, pairwise anisotropic repulsion with
-FOV masking (block-sparse culled: cell sort + neighbor-block table +
-Pallas tile kernel; 60 m cutoff bounds dropped forces below ~2e-4, the
-field's parity tolerance scale), and bicycle dynamics -- under one jitted
-lax.scan on the available accelerator. Prints ONE JSON line.
+FOV masking (block-sparse culled: serpentine cell sort + neighbor-block
+table + Pallas tile kernel; the 50 m cutoff bounds dropped forces below
+1e-4, measured 9e-5 against the dense oracle), and bicycle dynamics --
+under one jitted lax.scan on the available accelerator. The run is
+audited overflow-free: the neighbor-block capacity (kb) is checked
+against the true in-range block counts at t=0 and t=end, so no force
+contribution is silently truncated. Prints ONE JSON line.
 
 Baseline: the reference (chris-konrad/cyclistsocialforce) publishes no
 benchmark numbers (BASELINE.md); its implied real-time requirement is a
@@ -18,13 +21,53 @@ magnitude below this scale).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
+# bench configuration (see BASELINE.md for the tuning record):
+#  * block=128: smallest receiver block the TPU lane width admits -- the
+#    table is tighter than block=256 (1.2k vs 2.1k candidate pairs per
+#    agent), and with no runtime screen the per-program overhead is low
+#  * kb=14: capacity margin 2 over the audited max in-range count (12)
+#  * cutoff=50 m: dropped-force bound 9e-5 < the 1e-4 parity tolerance
+#  * screen=False: the serpentine-sorted table is tight enough that the
+#    per-tile min-distance screen (a vector->scalar pipeline stall) costs
+#    more than it saves
+#  * rebuild_every=20 with the default 2*v_max*t_s*K = 4 m skin
+BLOCK, KB, CUTOFF, REBUILD = 128, 14, 50.0, 20
+
+
+def audit_overflow(x, y, cfg, tag):
+    """Assert the neighbor table does not exceed kb capacity (which would
+    silently drop the farthest blocks' forces). Runs on the host CPU
+    backend: the remote-TPU tunnel intermittently corrupts repeated
+    small-program executions."""
+    import jax
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        n = x.shape[0]
+        npd = ((n + cfg.block - 1) // cfg.block) * cfg.block
+        xj = jnp.concatenate(
+            [jnp.asarray(x), jnp.full((npd - n,), x[0], jnp.float32)])
+        yj = jnp.concatenate(
+            [jnp.asarray(y), jnp.full((npd - n,), y[0], jnp.float32)])
+        cache = NB.build(xj, yj, cfg.cutoff + cfg.skin, cfg.block, cfg.kb)
+        counts = np.asarray(cache[2]).sum(1)
+        overflow = np.asarray(cache[3])
+    print(f"audit {tag}: max in-range blocks {counts.max()} "
+          f"(kb={cfg.kb}), overflow blocks {overflow.sum()}",
+          file=sys.stderr)
+    assert not overflow.any(), f"neighbor table overflow at {tag}"
+
 
 def main(n_agents=100_000, n_steps=60, density=0.02):
     import jax
+    import jax.numpy as jnp  # noqa: F401
 
     from __graft_entry__ import _build
     from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
@@ -32,12 +75,18 @@ def main(n_agents=100_000, n_steps=60, density=0.02):
     from cyclistsocialforce_tpu.params import BicycleParams
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    _, state = _build(n_agents, dtype=np.float32, density=density)
+    # hist_len=8: bicycle2d/straight never reads the position ring buffer
+    # (spline models need >1/t_s); pad_to_block enables the
+    # sorted-resident fast path (pads are inactive and emit no force)
+    _, state = _build(n_agents, dtype=np.float32, density=density,
+                      hist_len=8, pad_to_block=BLOCK)
+    cfg = NeighborConfig(
+        cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
+        sub=0, screen=False,
+        backend="pallas" if on_tpu else "xla")
     engine = Engine.create(
         BicycleParams.create(), MODELS["bicycle2d"], rep_force="twod",
-        neighbors=NeighborConfig(
-            cutoff=60.0, block=256, kb=8,
-            backend="pallas" if on_tpu else "xla", rebuild_every=20))
+        neighbors=cfg)
 
     run = jax.jit(lambda e, s: e.simulate(s, n_steps, record=False)[0])
 
@@ -53,11 +102,10 @@ def main(n_agents=100_000, n_steps=60, density=0.02):
     # capacity audit: the culled path drops farthest-first beyond kb --
     # assert the bench config is overflow-free at the start AND after the
     # measured horizon (silent force truncation would invalidate the run)
-    import jax.numpy as jnp  # noqa: E402 (bench must not import conftest)
-
-    ovf = jax.jit(lambda e, s: jnp.any(e.neighbor_cache(s)[3]))
-    assert not bool(ovf(engine, state)), "neighbor table overflow at t=0"
-    assert not bool(ovf(engine, out0)), "neighbor table overflow at t=end"
+    pos0 = np.asarray(jax.device_get(state.s))[:, :2]
+    pos1 = np.asarray(jax.device_get(out0.s))[:, :2]
+    audit_overflow(pos0[:, 0], pos0[:, 1], cfg, "t=0")
+    audit_overflow(pos1[:, 0], pos1[:, 1], cfg, "t=end")
 
     # best-of-3: strips the remote-tunnel dispatch jitter (+-10% per run)
     dt = float("inf")
@@ -72,10 +120,65 @@ def main(n_agents=100_000, n_steps=60, density=0.02):
     print(json.dumps({
         "metric": f"agent-steps/sec, N={n_agents} cyclists at "
                   f"{density}/m^2, full social-force pipeline "
-                  f"(culled pairwise field, Pallas)",
+                  f"(culled pairwise field, Pallas, overflow-audited)",
         "value": round(agent_steps_per_sec, 1),
         "unit": "agent-steps/sec",
         "vs_baseline": round(agent_steps_per_sec / realtime_target, 3),
+    }))
+
+
+def main_heavy(n_agents=100_000, n_steps=60, density=0.02):
+    """Secondary metric: the FLAGSHIP dynamics model at bench scale.
+
+    balancingrider = linearized Whipple-Carvallo dynamics with implicit-
+    midpoint integration (one batched 5x5 solve per step per agent) and
+    Ackermann pole placement -- the model family the reference can only
+    run at N~3 (per-agent `ct.place` + Levenberg-Marquardt,
+    reference dynamics.py:602-706; README.md:79 "not stable enough for
+    crowded scenarios"). Same population, same culled pair stage.
+    """
+    import jax
+
+    from __graft_entry__ import _build
+    from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    _, state = _build(n_agents, dtype=np.float32, density=density,
+                      hist_len=8, pad_to_block=BLOCK)
+    cfg = NeighborConfig(
+        cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
+        sub=0, screen=False,
+        backend="pallas" if on_tpu else "xla")
+    model = MODELS["balancingrider"]
+    engine = Engine.create(
+        BalancingRiderParams.create(), model, neighbors=cfg)
+    state = model.prepare(engine.params, state)
+
+    run = jax.jit(lambda e, s: e.simulate(s, n_steps, record=False)[0])
+
+    def sync(out):
+        jax.block_until_ready(out)
+        return np.asarray(out.s[:4, :4])
+
+    sync(run(engine, state))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe = sync(run(engine, state))
+        dt = min(dt, time.perf_counter() - t0)
+    assert np.all(np.isfinite(probe)), f"non-finite state: {probe}"
+
+    agent_steps_per_sec = n_agents * n_steps / dt
+    print(json.dumps({
+        "metric": f"agent-steps/sec, N={n_agents}, flagship "
+                  f"balancingrider (Whipple-Carvallo + Ackermann pole "
+                  f"placement + batched 5x5 midpoint solve), culled "
+                  f"pairwise field",
+        "value": round(agent_steps_per_sec, 1),
+        "unit": "agent-steps/sec",
+        "vs_baseline": round(agent_steps_per_sec / (100.0 * n_agents), 3),
     }))
 
 
@@ -88,13 +191,17 @@ def main_with_retries(attempts=3):
         except Exception as e:  # noqa: BLE001 - deliberate: retry flakes
             if k == attempts - 1:
                 raise
-            import sys
-            import time as _t
-
             print(f"bench attempt {k + 1} failed "
                   f"({type(e).__name__}); retrying...", file=sys.stderr)
-            _t.sleep(5)
+            time.sleep(5)
 
 
 if __name__ == "__main__":
+    # the heavy-model metric prints FIRST; the headline metric prints
+    # LAST (the driver parses the final JSON line)
+    try:
+        main_heavy()
+    except Exception as e:  # noqa: BLE001 - secondary metric is best-effort
+        print(f"heavy-model bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     main_with_retries()

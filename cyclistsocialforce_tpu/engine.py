@@ -361,7 +361,8 @@ class NeighborConfig:
     """
 
     def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas",
-                 rebuild_every=1, skin=None, v_max=10.0, t_s=0.01):
+                 rebuild_every=1, skin=None, v_max=10.0, t_s=0.01,
+                 sub=0, screen=True):
         self.cutoff = float(cutoff)
         self.block = int(block)
         self.kb = int(kb)
@@ -369,10 +370,17 @@ class NeighborConfig:
         self.rebuild_every = int(rebuild_every)
         self.skin = (float(skin) if skin is not None
                      else 2.0 * v_max * t_s * self.rebuild_every)
+        # source-strip height for the in-kernel strip-level distance
+        # screen (0 = whole-tile screen); multiples of 8 dividing `block`
+        self.sub = int(sub)
+        # screen=False drops the runtime min-distance screen entirely
+        # (each screen is a vector->scalar pipeline stall; with the
+        # serpentine sort the box-to-box table is already tight)
+        self.screen = bool(screen)
 
     def _key(self):
         return (self.cutoff, self.block, self.kb, self.backend,
-                self.rebuild_every, self.skin)
+                self.rebuild_every, self.skin, self.sub, self.screen)
 
     def __hash__(self):
         return hash(self._key())
@@ -563,9 +571,12 @@ class Engine(struct.PyTreeNode):
         x, y = state.s[:, X], state.s[:, Y]
         cpsi, spsi = jnp.cos(state.s[:, PSI]), jnp.sin(state.s[:, PSI])
         act = state.active.astype(dtype)
+        # the _SACT column is the source EMIT flag: active AND f_0 > 0,
+        # folded here so the kernels test one column instead of two
+        emit = act * (b("f_0") > 0)
         src_cols = [x, y, cpsi, spsi, b("f_0"), b("e_0"), b("e_1"),
                     b("sigma_0"), b("sigma_1"), b("sigma_2"), b("sigma_3"),
-                    jnp.cos(b("hfov") / 2), act]
+                    jnp.cos(b("hfov") / 2), emit]
         src_pack = jnp.stack(
             src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS
                                                    - len(src_cols)), axis=1)
@@ -614,13 +625,19 @@ class Engine(struct.PyTreeNode):
             priority_p2r=self.priority_p2r,
             interpret=(cfg.backend == "interpret"),
             cutoff=cfg.cutoff, recv_offset=recv_offset,
-            mixed=mixed).astype(dtype)
+            mixed=mixed, sub=cfg.sub, screen=cfg.screen).astype(dtype)
 
-    def repulsive_sum_neighbors(self, state: AgentState, cache=None):
+    def repulsive_sum_neighbors(self, state: AgentState, cache=None,
+                                presorted: bool = False):
         """Block-sparse culled pairwise forces (cell sort + neighbor-block
         table + Pallas tile kernel; see ops.neighbors/ops.pallas_forces).
         `cache` is an optional prebuilt `neighbor_cache` result (amortized
         rebuilds); positions/headings are re-packed every step either way.
+
+        With presorted=True the agent rows are ALREADY in cell-sorted
+        order (the sorted-resident fast path of `simulate`): the per-step
+        [N, 16]-row gather and the output scatter collapse away. Requires
+        N divisible by the block size.
         """
         cfg = self.neighbors
         n = state.n
@@ -628,6 +645,11 @@ class Engine(struct.PyTreeNode):
         npad = ((n + blk - 1) // blk) * blk
         dtype = state.s.dtype
         src_pack, recv_pack = self.pack_pair_fields(state, npad)
+
+        if presorted:
+            nbr, valid = cache[1], cache[2]
+            out = self.pair_kernel_dispatch(nbr, valid, src_pack, recv_pack)
+            return out[0][:n], out[1][:n]
 
         if cache is None:
             cache = self.neighbor_cache(state)
@@ -640,7 +662,8 @@ class Engine(struct.PyTreeNode):
         fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
         return fx, fy
 
-    def calc_forces(self, state: AgentState, nbr_cache=None):
+    def calc_forces(self, state: AgentState, nbr_cache=None,
+                    presorted: bool = False):
         """Total social force per agent; returns (fx, fy, state) where
         `state` carries the navigation-FSM updates done by the destination
         force (reference intersection.py:747-864)."""
@@ -654,7 +677,8 @@ class Engine(struct.PyTreeNode):
 
         if self.rep_force is not None and state.n > 1:
             if self.neighbors is not None:
-                frx, fry = self.repulsive_sum_neighbors(state, nbr_cache)
+                frx, fry = self.repulsive_sum_neighbors(
+                    state, nbr_cache, presorted=presorted)
             else:
                 frx, fry = self.repulsive_sum(state)
             combine = self.combine_forces or F.clamp_add_dest
@@ -726,11 +750,13 @@ class Engine(struct.PyTreeNode):
             jnp.asarray(nbr_overflow, dtype=w.dtype),
         ])
 
-    def step_with_forces(self, state: AgentState, nbr_cache=None):
+    def step_with_forces(self, state: AgentState, nbr_cache=None,
+                         presorted: bool = False):
         """One full step; also returns the applied forces (for saveForces
         histories, reference vehicle.py:162-164)."""
         before = state
-        fx, fy, state = self.calc_forces(state, nbr_cache)
+        fx, fy, state = self.calc_forces(state, nbr_cache,
+                                         presorted=presorted)
         new = self.model_step(self.params, state, fx, fy)
         return self.finish_step(before, new), fx, fy
 
@@ -777,6 +803,48 @@ class Engine(struct.PyTreeNode):
 
         n_chunks, rem = divmod(n_steps, k)
 
+        # sorted-resident fast path: agent rows live in cell-sorted order
+        # for the whole chunk (the chunk-start permutation moves the WHOLE
+        # state once), so the per-step [N, 16]-row pack gather and force
+        # scatter of the culled pair stage disappear. Original row order
+        # is restored once at the end via the carried `ident` column.
+        # Requires: no per-step recording of per-agent arrays (aggregated
+        # metrics are permutation-invariant), no scripted agents (their
+        # replay table is row-indexed), N divisible by the block size.
+        sorted_resident = (
+            self.neighbors is not None and not record and not record_forces
+            and self.scripted is None
+            and state.n % self.neighbors.block == 0)
+
+        if sorted_resident:
+            def chunk_sr(carry, _):
+                st, ident = carry
+                cache = self.neighbor_cache(st)
+                perm = cache[0]
+                st = permute_state(st, perm)
+                ident = ident[perm]
+
+                def inner(st, _):
+                    st, fx, fy = self.step_with_forces(st, cache,
+                                                       presorted=True)
+                    return st, out(st, fx, fy, cache)
+
+                st, recs = jax.lax.scan(inner, st, None, length=k)
+                return (st, ident), recs
+
+            ident0 = jnp.arange(state.n, dtype=jnp.int32)
+            (state, ident), recs = jax.lax.scan(
+                chunk_sr, (state, ident0), None, length=n_chunks)
+            recs = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_chunks * k,) + a.shape[2:]), recs)
+            state = permute_state(state, jnp.argsort(ident))
+            if rem:
+                state, tail = jax.lax.scan(body, state, None, length=rem)
+                recs = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0),
+                    recs, tail)
+            return state, recs
+
         def chunk(st, _):
             cache = self.neighbor_cache(st)
 
@@ -801,6 +869,17 @@ _PER_AGENT_FIELDS = (
     "destpointer", "nq", "znav", "znavparams", "i_stopsignal",
     "d_stopsignal", "zrid", "walk_ok_steps",
 )
+
+
+_ALL_AGENT_FIELDS = _PER_AGENT_FIELDS + ("i", "pos_hist", "active")
+
+
+def permute_state(state: AgentState, perm) -> AgentState:
+    """Reorder the agent rows of every per-agent array by `perm` (one bulk
+    gather per field; used once per rebuild chunk by the sorted-resident
+    simulate path)."""
+    upd = {f: getattr(state, f)[perm] for f in _ALL_AGENT_FIELDS}
+    return state.replace(**upd)
 
 
 def _freeze_inactive(act, old: AgentState, new: AgentState) -> AgentState:

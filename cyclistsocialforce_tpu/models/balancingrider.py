@@ -193,14 +193,18 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     state = state.replace(key=key)
 
     # ---- closed-form implicit midpoint of the block-triangular system
+    # (ops.smallmat: unrolled 5x5 solve -- batched jnp.linalg.solve at
+    # N = 100k cost ~138 ms/step on TPU, the unrolled form ~1 ms)
+    from cyclistsocialforce_tpu.ops.smallmat import matvec_small, solve_small
+
     def solve_one(A0a, A1a, A2a, Ba, B2a, Ka, vm, psic, x, h, Tr, Ts):
         A = A0a + vm * A1a + (vm * vm) * A2a
         Acl = A - Ba[:, None] * Ka[None, :]
         u = Ka[4] * psic + Ts          # k_psi == K_u (dynamics.py:465-477)
-        rhs = (x[:5] + (h / 2.0) * (Acl @ x[:5])
+        rhs = (x[:5] + (h / 2.0) * matvec_small(Acl, x[:5])
                + h * (Ba * u + B2a * Tr))
         lhs = jnp.eye(5, dtype=x.dtype) - (h / 2.0) * Acl
-        x5 = jnp.linalg.solve(lhs, rhs)
+        x5 = solve_small(lhs, rhs)
         psi_mid = (x[4] + x5[4]) / 2.0
         px = x[5] + h * vm * jnp.cos(psi_mid)
         py = x[6] + h * vm * jnp.sin(psi_mid)

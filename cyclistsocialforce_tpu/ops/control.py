@@ -85,19 +85,30 @@ def charpoly_from_pole_features(feats):
 def ackermann(A, B, coeffs):
     """Ackermann gain K = e_n^T ctrb(A, B)^{-1} phi(A) for a SISO system,
     with phi the desired monic characteristic polynomial given by `coeffs`
-    (highest power first, length n+1)."""
+    (highest power first, length n+1).
+
+    Built on ops.smallmat (unrolled static-index linear algebra): under
+    `jax.vmap` over a 1e5-agent batch every product is one [N]-wide VPU
+    op, instead of the batched-tiny-LU path `jnp.linalg.solve` takes on
+    TPU. K is computed as y^T phi(A) with ctrb^T y = e_n (one vector
+    solve instead of a matrix solve)."""
+    from cyclistsocialforce_tpu.ops.smallmat import (matmul_small,
+                                                     matvec_small,
+                                                     solve_small)
+
     B = B.reshape(-1)
     n = A.shape[0]
     cols = [B]
     for _ in range(n - 1):
-        cols.append(A @ cols[-1])
+        cols.append(matvec_small(A, cols[-1]))
     ctrb = jnp.stack(cols, axis=1)
     phiA = jnp.zeros_like(A)
     eye = jnp.eye(n, dtype=A.dtype)
     for k in range(n + 1):
-        phiA = phiA @ A + coeffs[k] * eye
+        phiA = matmul_small(phiA, A) + coeffs[k] * eye
     en = jnp.zeros((n,), dtype=A.dtype).at[-1].set(1.0)
-    return en @ jnp.linalg.solve(ctrb, phiA)
+    y = solve_small(ctrb.T, en)
+    return matvec_small(phiA.T, y)
 
 
 def place_siso(A, B, poles):

@@ -32,7 +32,15 @@ BIG = jnp.float32(3.4e38)
 
 
 def cell_keys(x, y, cell_size):
-    """Spatial cell key per agent (row-major over a dynamic origin).
+    """Spatial cell key per agent: SERPENTINE (boustrophedon) order over a
+    dynamic origin -- column-major, with every odd column's y-order
+    reversed. Plain row/column-major order makes the agent blocks that
+    straddle a column boundary span the column's full height, so their
+    bounding boxes cover the whole domain and they become "neighbors" of
+    every block in adjacent columns (measured at the bench distribution:
+    max neighbor-block count 47 vs 11, mean 14.9 vs 8.4 for block = 256).
+    Serpentine order keeps consecutive columns adjacent at the turn, so
+    straddling blocks stay spatially compact.
 
     int32 composite key (works without x64): supports up to 32768 cells
     per axis -- ~2000 km of domain at the default 60 m cell size.
@@ -41,7 +49,9 @@ def cell_keys(x, y, cell_size):
     ymin = jnp.min(y)
     ix = jnp.floor((x - xmin) / cell_size).astype(jnp.int32)
     iy = jnp.floor((y - ymin) / cell_size).astype(jnp.int32)
-    return ix * jnp.int32(1 << 15) + iy
+    m = jnp.int32(1 << 15)
+    iy = jnp.where(ix % 2 == 0, iy, m - 1 - iy)
+    return ix * m + iy
 
 
 def sort_by_cell(x, y, cell_size):

@@ -42,7 +42,7 @@ _SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT, \
 
 def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
                  *, block: int, priority_p2r: bool, cutoff2: float,
-                 mixed: bool = False):
+                 mixed: bool = False, sub: int = 0, screen: bool = True):
     b = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -52,30 +52,59 @@ def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
 
     @pl.when(valid_ref[b, k] == 1)
     def _accumulate():
-        # cheap distance screen: fringe tiles admitted by the box-to-box
-        # cull may contain no pair inside the cutoff -- skip the
-        # transcendental-heavy field math for those
-        dx = recv_ref[0:1, :] - src_ref[:, _SX:_SX + 1]
-        dy = recv_ref[1:2, :] - src_ref[:, _SY:_SY + 1]
-        rho2_min = jnp.min(dx * dx + dy * dy)
-
-        @pl.when(rho2_min <= cutoff2)
-        def _inner():
-            fx, fy = _tile_forces(src_ref, recv_ref, nbr_ref[b, k],
-                                  b + roff_ref[0], block, priority_p2r,
+        if not screen:
+            # no runtime distance screen: with the serpentine cell sort
+            # the table is tight enough that nearly every admitted tile
+            # has pairs in range, and the screen's [T, T] min-reduction
+            # forces a vector->scalar SREG roundtrip (~0.25 us pipeline
+            # stall per tile) that costs more than it saves
+            fx, fy = _tile_forces(src_ref, recv_ref, priority_p2r,
                                   mixed=mixed)
             out_ref[0:1, :] += fx
             out_ref[1:2, :] += fy
+        elif sub:
+            # strip-level distance screen: the field math is ~40 VPU
+            # slots/pair while dx/dy/rho2 is ~5, and within an admitted
+            # tile only ~10-20% of pairs lie inside the cutoff -- screen
+            # each [sub, block] SOURCE STRIP and skip the transcendental
+            # math for strips with no pair in range (force error bounded
+            # by the same exp(-cutoff/sigma) argument as the tile screen)
+            for s0 in range(0, block, sub):
+                strip = src_ref[s0:s0 + sub, :]
+                dx = recv_ref[0:1, :] - strip[:, _SX:_SX + 1]
+                dy = recv_ref[1:2, :] - strip[:, _SY:_SY + 1]
+                rho2_min = jnp.min(dx * dx + dy * dy)
+
+                @pl.when(rho2_min <= cutoff2)
+                def _strip(strip=strip):
+                    fx, fy = _tile_forces(strip, recv_ref, priority_p2r,
+                                          mixed=mixed)
+                    out_ref[0:1, :] += fx
+                    out_ref[1:2, :] += fy
+        else:
+            # tile-level distance screen: fringe tiles admitted by the
+            # box-to-box cull may contain no pair inside the cutoff
+            dx = recv_ref[0:1, :] - src_ref[:, _SX:_SX + 1]
+            dy = recv_ref[1:2, :] - src_ref[:, _SY:_SY + 1]
+            rho2_min = jnp.min(dx * dx + dy * dy)
+
+            @pl.when(rho2_min <= cutoff2)
+            def _inner():
+                fx, fy = _tile_forces(src_ref, recv_ref, priority_p2r,
+                                      mixed=mixed)
+                out_ref[0:1, :] += fx
+                out_ref[1:2, :] += fy
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
                                              "interpret", "cutoff",
-                                             "mixed"))
+                                             "mixed", "sub", "screen"))
 def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                           priority_p2r: bool = False,
                           interpret: bool = False,
                           cutoff: float = float("inf"),
-                          recv_offset=None, mixed: bool = False):
+                          recv_offset=None, mixed: bool = False,
+                          sub: int = 0, screen: bool = True):
     """Block-sparse pairwise force sum.
 
     nbr, valid : [B, KB] neighbor-block table (ops.neighbors); `nbr`
@@ -112,9 +141,11 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                                (0, b)),
     )
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
+    if sub:
+        assert block % sub == 0 and sub % 8 == 0, (block, sub)
     kernel = functools.partial(_pair_kernel, block=block,
                                priority_p2r=priority_p2r, cutoff2=c2,
-                               mixed=mixed)
+                               mixed=mixed, sub=sub, screen=screen)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -131,10 +162,12 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
 # --------------------------------------------------------------------------
 
 
-def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r,
+def _tile_forces(src_tile, recv_ref, priority_p2r,
                  mixed: bool = False):
-    """[T, T] tile math + mask; returns (fx_row, fy_row) [1, T] sums.
-    Shared by both kernels; src_tile is a [T, 16] VMEM array/ref value.
+    """[S, T] tile math + mask; returns (fx_row, fy_row) [1, T] sums.
+    Shared by both kernels; src_tile is a [S, 16] VMEM array/ref value
+    (a whole source block, or a strip of one). Self-pairs are excluded
+    positionally (rho2 > 0), so no block indices are needed.
 
     With mixed=True, each source row's _FAM column selects between the
     BMD2023 twod field and the legacy v0.1 elliptic field (cols 4-7
@@ -154,10 +187,10 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r,
     dx = xr - xs
     dy = yr - ys
     rho2 = dx * dx + dy * dy
-    # rsqrt replaces sqrt+divide pairs (the tile is VPU-transcendental
-    # bound); rho == 0 pairs produce inf/NaN downstream and are dropped by
-    # the final where-select (`tracked` requires rho2 > 0)
-    inv_rho = jax.lax.rsqrt(jnp.where(rho2 > 0, rho2, 1.0))
+    # rsqrt replaces sqrt+divide pairs; max(rho2, tiny) keeps rho == 0
+    # pairs finite (1e15, not inf, so 0 * inv_rho stays 0) -- they are
+    # dropped by the `tracked` mask (rho2 > 0) folded into `w` below
+    inv_rho = jax.lax.rsqrt(jnp.maximum(rho2, 1e-30))
     rho = rho2 * inv_rho
 
     sin_rel = ss * cr - cs * sr
@@ -178,49 +211,65 @@ def _tile_forces(src_tile, recv_ref, nblk, b, block, priority_p2r,
     sigma = vdecay0 - vdecay1 * jnp.sqrt((1 - cosphi) * 0.5)
     dsigm = (-vdecay1 * jnp.sqrt((1 + cosphi) * 0.5)
              * jnp.sign(sinphi) * 0.5)
-    ec2 = 1 - (e * cosphi) ** 2
-    inv_sq = jax.lax.rsqrt(ec2)             # ec2 >= 1 - e_0^2 > 0
-    sq = ec2 * inv_sq
-    inv_sigma = 1.0 / jnp.where(sigma > 0, sigma, 1.0)
-    P = sc(_F0) * jnp.exp(-rho * sq * inv_sigma)
-    frho = P * sq * inv_sigma
-    fphi = (-P * (ec2 * dsigm - e * e * sinphi * cosphi * sigma)
-            * (inv_sigma * inv_sigma) * inv_sq)
-    fmag2 = frho * frho + fphi * fphi
-    inv_fmag = jax.lax.rsqrt(jnp.where(fmag2 > 0, fmag2, 1.0))
-    scale = P * inv_fmag * inv_rho
-    fx_pair = scale * (frho * dx - fphi * dy)
-    fy_pair = scale * (frho * dy + fphi * dx)
+    ec2 = 1 - (e * cosphi) ** 2             # ec2 >= 1 - e_0^2 > 0
+
+    # The reference normalizes the polar force vector (f_rho, f_phi) to
+    # magnitude P and rotates it to Cartesian (vehicle.py:1560-1648).
+    # Since only the DIRECTION of (f_rho, f_phi) survives normalization,
+    # rescale it by the positive factor sigma^2 * sqrt(ec2):
+    #     f_rho ~ u = ec2 * sigma
+    #     f_phi ~ v = e^2 sinphi cosphi sigma - ec2 * dsigm
+    # which eliminates the 1/sigma^2 and 1/sqrt(ec2) chains of the
+    # textbook form -- the tile is VPU-issue-bound at ~1 ps/(pair*op),
+    # so every spared full-tile op is ~0.02 ms at the bench scale.
+    sigma_safe = jnp.maximum(sigma, 1e-20)  # sigma <= 0 => exp(-huge) = 0
+    P = sc(_F0) * jnp.exp(-rho * jnp.sqrt(ec2) / sigma_safe)
+    u = ec2 * sigma
+    v = (e * e) * (sinphi * cosphi) * sigma - ec2 * dsigm
+    inv_m = jax.lax.rsqrt(jnp.maximum(u * u + v * v, 1e-30))
+
+    # mask chain (minimum count of [S, R]-shaped ops):
+    #   * FOV: the receiver must lie within the SOURCE's half-FOV cone
+    #     (the reference's source-indexed-FOV quirk, see
+    #     ops.forces.untracked_foes_tile);
+    #   * rho2 > 0 excludes the self-pair (self-distance is exactly 0)
+    #     AND coincident distinct pairs (whose field is singular; the
+    #     reference divides by zero for those) -- an explicit index
+    #     compare would be redundant;
+    #   * emit-side activity and f_0 > 0 are FOLDED into the single
+    #     packed _SACT column by engine.pack_pair_fields (emit flag);
+    #   * sigma > 0 guards the vdecay polynomial going non-physical.
+    rho_cos_rel = -(dx * cr + dy * sr)
+    tracked = rho_cos_rel >= sc(_CHF) * rho   # cmp in rho-scaled form
+    if priority_p2r:
+        rho_sin_rel = -(dy * cr - dx * sr)
+        tracked &= rho_sin_rel <= 0
+    tracked &= rho2 > 0.0
+    tracked &= (sc(_SACT) > 0) & (act_r > 0)   # cheap [S,1] / [1,R] cmps
+    tracked &= sigma > 0
+
+    # fold the mask into the shared scale: masked pairs contribute w = 0,
+    # so no per-component where is needed before the reduction
+    w = jnp.where(tracked, P * inv_m * inv_rho, 0.0)
+    fx_pair = w * (u * dx - v * dy)
+    fy_pair = w * (u * dy + v * dx)
 
     if mixed:
         # legacy v0.1 elliptic field (ops.forces.rep_force_legacy_pair):
         # cols: _F0 = amp, _E0 = e, _E1 = 1/sqrt(1-e^2), _S0 = 1/p_decay
         e_l, inv_se, inv_pd = sc(_E0), sc(_E1), sc(_S0)
-        u = (1 - e_l * cosphi) * inv_se
-        P_l = sc(_F0) * jnp.exp(-rho * u * inv_pd)
-        frho0 = P_l * u
+        u_l = (1 - e_l * cosphi) * inv_se
+        P_l = sc(_F0) * jnp.exp(-rho * u_l * inv_pd)
+        frho0 = P_l * u_l
         fphi0 = P_l * e_l * sinphi * inv_se
-        fx_pair = jnp.where(legacy, (frho0 * dx - fphi0 * dy) * inv_rho,
+        w_l = jnp.where(tracked, inv_rho, 0.0)
+        fx_pair = jnp.where(legacy, w_l * (frho0 * dx - fphi0 * dy),
                             fx_pair)
-        fy_pair = jnp.where(legacy, (frho0 * dy + fphi0 * dx) * inv_rho,
+        fy_pair = jnp.where(legacy, w_l * (frho0 * dy + fphi0 * dx),
                             fy_pair)
 
-    rho_cos_rel = -(dx * cr + dy * sr)
-    tracked = rho_cos_rel * inv_rho >= sc(_CHF)
-    if priority_p2r:
-        rho_sin_rel = -(dy * cr - dx * sr)
-        tracked &= rho_sin_rel <= 0
-    idx_s = (nblk * block
-             + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0))
-    idx_r = (b * block
-             + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1))
-    tracked &= idx_s != idx_r
-    tracked &= rho > 0.0
-    tracked &= (sc(_SACT) > 0) & (act_r > 0)
-    tracked &= (sc(_F0) > 0) & (sigma > 0)
-
-    fx = jnp.sum(jnp.where(tracked, fx_pair, 0.0), axis=0, keepdims=True)
-    fy = jnp.sum(jnp.where(tracked, fy_pair, 0.0), axis=0, keepdims=True)
+    fx = jnp.sum(fx_pair, axis=0, keepdims=True)
+    fy = jnp.sum(fy_pair, axis=0, keepdims=True)
     return fx, fy
 
 
@@ -258,9 +307,8 @@ def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
 
             @pl.when(jnp.min(dx * dx + dy * dy) <= cutoff2)
             def _inner():
-                fx, fy = _tile_forces(tile, recv_ref, nbr_ref[b, k],
-                                      b + roff_ref[0], block, priority_p2r,
-                                      mixed=mixed)
+                fx, fy = _tile_forces(tile[:, :SRC_COLS], recv_ref,
+                                      priority_p2r, mixed=mixed)
                 out_ref[0:1, :] += fx
                 out_ref[1:2, :] += fy
 
@@ -348,8 +396,9 @@ def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
     n = recv_pack.shape[1]
     bcount, kb = nbr.shape
     n_src = src_pack.shape[0]
-    roff = (jnp.zeros((), jnp.int32) if recv_offset is None
-            else recv_offset.reshape(()).astype(jnp.int32))
+    del recv_offset  # self-exclusion is positional (rho > 0); kept in
+    #                  the signature for call-site symmetry with the
+    #                  Pallas kernels
 
     src_blocks = src_pack.reshape(n_src // block, block, SRC_COLS)
     gathered = src_blocks[nbr]            # [B, KB, T, C]
@@ -357,13 +406,9 @@ def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
 
     recv = recv_pack.T.reshape(bcount, block, RECV_ROWS)   # [B, T, 8]
 
-    idx_src = (nbr[:, :, None] * block
-               + jnp.arange(block)[None, None, :]).reshape(bcount, -1)
-    idx_recv = ((roff + jnp.arange(bcount))[:, None] * block
-                + jnp.arange(block)[None, :])
     vmask = jnp.repeat(valid, block, axis=1)               # [B, KB*T]
 
-    def per_block(s, r, isrc, irecv, vm):
+    def per_block(s, r, vm):
         if mixed:
             legacy = s[:, 13:14] > 0.5
             e0 = jnp.where(legacy, 0.0, s[:, 5:6])
@@ -394,13 +439,12 @@ def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
         if priority_p2r:
             sin_rel = (dys * r[None, :, 2] - dxs * r[None, :, 3]) / safe
             tracked &= sin_rel <= 0
-        tracked &= isrc[:, None] != irecv[None, :]
-        tracked &= rho > 0
+        tracked &= rho > 0   # excludes self-pairs and coincident pairs
         tracked &= (s[:, 12:13] > 0) & (r[None, :, 4] > 0)
         tracked &= vm[:, None]
         fx = jnp.sum(jnp.where(tracked, fpx, 0.0), axis=0)
         fy = jnp.sum(jnp.where(tracked, fpy, 0.0), axis=0)
         return fx, fy
 
-    fx, fy = jax.vmap(per_block)(src, recv, idx_src, idx_recv, vmask)
+    fx, fy = jax.vmap(per_block)(src, recv, vmask)
     return jnp.stack([fx.reshape(n), fy.reshape(n)], axis=0)

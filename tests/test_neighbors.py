@@ -127,6 +127,46 @@ def test_overflow_surfaced_in_metrics_and_checkify():
     err2.throw()   # no error
 
 
+@pytest.mark.parametrize("kw", [dict(sub=32), dict(screen=False),
+                                dict(sub=64, screen=True)])
+def test_kernel_variants_match_oracle(kw):
+    """The strip-screened (sub>0) and unscreened (screen=False) kernel
+    variants stay within the cutoff tolerance of the XLA oracle."""
+    n, side = 512, 400.0
+    st, p = _population(n, side, seed=2)
+    oracle = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=16, backend="xla"))
+    fx0, fy0 = oracle.repulsive_sum_neighbors(st)
+    eng = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=16, backend="interpret", **kw))
+    fx1, fy1 = eng.repulsive_sum_neighbors(st)
+    err = np.max(np.hypot(np.asarray(fx1 - fx0), np.asarray(fy1 - fy0)))
+    assert err < 2e-4, f"{kw}: {err}"
+
+
+def test_sorted_resident_simulate_matches_gather_path():
+    """simulate()'s sorted-resident fast path (record=False, N divisible
+    by block: the whole state lives cell-sorted per rebuild chunk) must
+    reproduce the per-step-gather path bit-for-bit, with original row
+    order restored at the end."""
+    n = 512
+    st, p = _population(n, 300.0, seed=7)
+    dests = np.asarray(st.s[:, :2]) + 40.0
+    st = st.replace(
+        dest=jnp.concatenate([jnp.asarray(dests),
+                              jnp.zeros((n, 1))], axis=1),
+        destqueue=st.destqueue.at[:, 0, :2].set(jnp.asarray(dests)))
+    eng = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=16, backend="xla", rebuild_every=3))
+    # record=True -> per-step gather path; record=False -> sorted-resident
+    ref, _ = jax.jit(lambda s: eng.simulate(s, 7, record=True))(st)
+    fast, _ = jax.jit(lambda s: eng.simulate(s, 7, record=False))(st)
+    for f in ("s", "dest", "i", "destpointer", "znav", "pos_hist"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(fast, f))
+        np.testing.assert_array_equal(a, b, err_msg=f)
+
+
 def test_full_step_with_neighbors_under_scan():
     """The culled path composes with the full engine step under scan."""
     n = 128
