@@ -348,8 +348,12 @@ class NeighborConfig:
 
     cutoff : interaction radius [m]. The BMD2023 field decays as
         exp(-rho/sigma) with sigma <= sigma_0 + sigma_1 (~5.5 m by
-        default), so cutoff = 60 m bounds the dropped force below 1e-4 --
-        the framework's own force parity tolerance.
+        default), so cutoff = 50-60 m bounds the dropped force below
+        1e-4 -- the framework's own force parity tolerance (measured
+        9e-5 at 50 m). Populations emitting the LEGACY elliptic field
+        (incl. MixedEngine legacy groups) need ~100 m: its forward decay
+        exponent rho*sqrt((1-e)/(1+e))/p_decay is much slower for fast
+        sources (measured 3.2e-5 at 100 m, 1.5e-3 at 60 m).
     block : agents per tile (multiple of 8; lanes want multiples of 128).
     kb : max neighbor blocks per receiver block (capacity; overflow drops
         the farthest blocks).
@@ -388,6 +392,52 @@ class NeighborConfig:
     def __eq__(self, other):
         return (isinstance(other, NeighborConfig)
                 and self._key() == other._key())
+
+
+def build_neighbor_cache(cfg: NeighborConfig, state):
+    """Culling structure (perm, nbr, valid, overflow) over the padded
+    population with the skin-extended cutoff (shared by Engine and
+    MixedEngine)."""
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    n = state.n
+    blk = cfg.block
+    npad = ((n + blk - 1) // blk) * blk
+    x, y = state.s[:, X], state.s[:, Y]
+    if npad != n:
+        x = jnp.concatenate([x, jnp.full((npad - n,), x[0], dtype=x.dtype)])
+        y = jnp.concatenate([y, jnp.full((npad - n,), y[0], dtype=y.dtype)])
+    return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb)
+
+
+def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
+                         nbr, valid, src_sorted, recv_sorted,
+                         recv_offset=None, mixed: bool = False):
+    """Run the configured neighbor-tile backend; [2, B*block] sorted
+    forces. src/recv must already be in cell-sorted order."""
+    from cyclistsocialforce_tpu.ops import pallas_forces as PF
+
+    blk = cfg.block
+    dtype = src_sorted.dtype
+    f32 = lambda a: a.astype(jnp.float32)   # noqa: E731
+    if cfg.backend == "xla":
+        return PF.pair_forces_neighbors_xla(
+            nbr, valid, src_sorted, recv_sorted, block=blk,
+            priority_p2r=priority_p2r, recv_offset=recv_offset,
+            mixed=mixed)
+    if cfg.backend in ("pallas_db", "interpret_db"):
+        return PF.pair_forces_neighbors_db(
+            nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+            priority_p2r=priority_p2r,
+            interpret=(cfg.backend == "interpret_db"),
+            cutoff=cfg.cutoff, recv_offset=recv_offset,
+            mixed=mixed).astype(dtype)
+    return PF.pair_forces_neighbors(
+        nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+        priority_p2r=priority_p2r,
+        interpret=(cfg.backend == "interpret"),
+        cutoff=cfg.cutoff, recv_offset=recv_offset,
+        mixed=mixed, sub=cfg.sub, screen=cfg.screen).astype(dtype)
 
 
 class RoadElements(struct.PyTreeNode):
@@ -538,19 +588,7 @@ class Engine(struct.PyTreeNode):
         """Build the culling structure: (perm, nbr, valid) over the padded
         population, with the skin-extended cutoff so the table stays valid
         for `rebuild_every` steps of drift."""
-        from cyclistsocialforce_tpu.ops import neighbors as NB
-
-        cfg = self.neighbors
-        n = state.n
-        blk = cfg.block
-        npad = ((n + blk - 1) // blk) * blk
-        x, y = state.s[:, X], state.s[:, Y]
-        if npad != n:
-            xpad = jnp.full((npad - n,), x[0], dtype=x.dtype)
-            x = jnp.concatenate([x, xpad])
-            y = jnp.concatenate([y, jnp.full((npad - n,), y[0],
-                                             dtype=y.dtype)])
-        return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb)
+        return build_neighbor_cache(self.neighbors, state)
 
     def pack_pair_fields(self, state: AgentState, npad: int | None = None):
         """(src_pack [npad, 16], recv_pack [8, npad]) for the tile kernels
@@ -602,30 +640,9 @@ class Engine(struct.PyTreeNode):
                              recv_offset=None, mixed: bool = False):
         """Run the configured neighbor-tile backend; [2, B*block] sorted
         forces. src/recv must already be in cell-sorted order."""
-        from cyclistsocialforce_tpu.ops import pallas_forces as PF
-
-        cfg = self.neighbors
-        blk = cfg.block
-        dtype = src_sorted.dtype
-        f32 = lambda a: a.astype(jnp.float32)
-        if cfg.backend == "xla":
-            return PF.pair_forces_neighbors_xla(
-                nbr, valid, src_sorted, recv_sorted, block=blk,
-                priority_p2r=self.priority_p2r, recv_offset=recv_offset,
-                mixed=mixed)
-        if cfg.backend in ("pallas_db", "interpret_db"):
-            return PF.pair_forces_neighbors_db(
-                nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
-                priority_p2r=self.priority_p2r,
-                interpret=(cfg.backend == "interpret_db"),
-                cutoff=cfg.cutoff, recv_offset=recv_offset,
-                mixed=mixed).astype(dtype)
-        return PF.pair_forces_neighbors(
-            nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
-            priority_p2r=self.priority_p2r,
-            interpret=(cfg.backend == "interpret"),
-            cutoff=cfg.cutoff, recv_offset=recv_offset,
-            mixed=mixed, sub=cfg.sub, screen=cfg.screen).astype(dtype)
+        return pair_kernel_dispatch(self.neighbors, self.priority_p2r,
+                                    nbr, valid, src_sorted, recv_sorted,
+                                    recv_offset=recv_offset, mixed=mixed)
 
     def repulsive_sum_neighbors(self, state: AgentState, cache=None,
                                 presorted: bool = False):

@@ -63,15 +63,30 @@ class MixedEngine(struct.PyTreeNode):
     (model_module_or_name, params, n_agents); agent rows [lo, hi) of the
     AgentState belong to group order. Road elements and the priority rule
     apply globally.
+
+    With a `NeighborConfig` the pairwise stage runs block-sparse culled
+    (cell sort + neighbor-block table) through the MIXED-family tile
+    kernels (ops.pallas_forces `mixed=True`): each source row's packed
+    family column selects twod vs legacy field math inside the same tile,
+    so heterogeneous crowds (e.g. bikes + scripted cars) scale like the
+    homogeneous engine instead of materializing [N, N]
+    (reference intersection.py:813-823 double dispatch).
+
+    `scripted` (a ScriptedTraj) marks agents that replay prescribed
+    trajectories, ignore forces, but still EMIT their group's repulsive
+    field (reference vehicle.py:920-987).
     """
 
     groups: Any                                   # tuple[ModelGroup]
     road: Any = None
+    scripted: Any = None                          # ScriptedTraj or None
     priority_p2r: bool = struct.field(pytree_node=False, default=False)
+    neighbors: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, group_specs, road=None,
-               priority_rule: str = "unregulated"):
+               priority_rule: str = "unregulated", scripted=None,
+               neighbors=None):
         from cyclistsocialforce_tpu.models import MODELS
 
         groups = []
@@ -92,8 +107,9 @@ class MixedEngine(struct.PyTreeNode):
                 params=params, model_step=model.step, dest_force=dest,
                 rep_name=rep, lo=lo, hi=lo + n))
             lo += n
-        return cls(groups=tuple(groups), road=road,
-                   priority_p2r=(priority_rule == "p2r"))
+        return cls(groups=tuple(groups), road=road, scripted=scripted,
+                   priority_p2r=(priority_rule == "p2r"),
+                   neighbors=neighbors)
 
     @property
     def n(self):
@@ -148,10 +164,113 @@ class MixedEngine(struct.PyTreeNode):
             priority_p2r=self.priority_p2r)
         return F.sum_sources(fx_pair, fy_pair, ~untracked)
 
-    def calc_forces(self, state: AgentState):
+    def pack_pair_fields_mixed(self, state: AgentState,
+                               npad: int | None = None):
+        """(src_pack [npad, 16], recv_pack [8, npad]) in the MIXED layout
+        of ops.pallas_forces: the _FAM column selects the source row's
+        field family; legacy rows reuse cols 4-7 as
+        (amp, e, 1/sqrt(1-e^2), 1/p_decay) with cols 8-10 zero."""
+        from cyclistsocialforce_tpu.ops import pallas_forces as PF
+
+        n = self.n
+        npad = n if npad is None else npad
+        dtype = state.s.dtype
+
+        def gcol(value, g):
+            return jnp.broadcast_to(jnp.asarray(value, dtype=dtype),
+                                    (g.hi - g.lo,))
+
+        def col(fn):
+            return jnp.concatenate([fn(g) for g in self.groups])
+
+        x, y = state.s[:, X], state.s[:, Y]
+        cpsi, spsi = jnp.cos(state.s[:, PSI]), jnp.sin(state.s[:, PSI])
+        act = state.active.astype(dtype)
+
+        c4, c5, c6, c7 = [], [], [], []
+        c8, c9, c10, fam, chf = [], [], [], [], []
+        from cyclistsocialforce_tpu.params import pair_hi
+        for g in self.groups:
+            ng = g.hi - g.lo
+            chf.append(jnp.cos(gcol(g.params.hfov, g) / 2))
+            if g.rep_name == "twod":
+                c4.append(gcol(g.params.f_0, g))
+                c5.append(gcol(g.params.e_0, g))
+                c6.append(gcol(g.params.e_1, g))
+                c7.append(gcol(g.params.sigma_0, g))
+                c8.append(gcol(g.params.sigma_1, g))
+                c9.append(gcol(g.params.sigma_2, g))
+                c10.append(gcol(g.params.sigma_3, g))
+                fam.append(jnp.zeros((ng,), dtype))
+            else:   # legacy elliptic field
+                v = state.s[g.lo:g.hi, V]
+                e = F.legacy_excentricity(
+                    v, gcol(pair_hi(g.params.v_max_riding), g))
+                p_decay = gcol(g.params.p_decay, g)
+                c4.append(gcol(g.params.p_0, g) / p_decay)   # amp
+                c5.append(e)
+                c6.append(1.0 / jnp.sqrt(1.0 - e * e))
+                c7.append(1.0 / p_decay)
+                c8.append(jnp.zeros((ng,), dtype))
+                c9.append(jnp.zeros((ng,), dtype))
+                c10.append(jnp.zeros((ng,), dtype))
+                fam.append(jnp.ones((ng,), dtype))
+
+        cat = jnp.concatenate
+        emit = act * (cat(c4) > 0)
+        src_cols = [x, y, cpsi, spsi, cat(c4), cat(c5), cat(c6), cat(c7),
+                    cat(c8), cat(c9), cat(c10), cat(chf), emit, cat(fam)]
+        src_pack = jnp.stack(
+            src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS
+                                                   - len(src_cols)), axis=1)
+        recv_rows = [x, y, cpsi, spsi, act]
+        recv_pack = jnp.stack(
+            recv_rows + [jnp.zeros((n,), dtype)] * (PF.RECV_ROWS
+                                                    - len(recv_rows)),
+            axis=0)
+        if npad != n:
+            pad = npad - n
+            src_pad = jnp.zeros((pad, PF.SRC_COLS), dtype)
+            src_pad = src_pad.at[:, 0].set(x[0]).at[:, 1].set(y[0])
+            # emit = 0, sigma_0 col (7) nonzero keeps the twod branch
+            # well-defined on pad rows
+            src_pad = src_pad.at[:, 7].set(1.0)
+            src_pack = jnp.concatenate([src_pack, src_pad], axis=0)
+            recv_pad = jnp.zeros((PF.RECV_ROWS, pad), dtype)
+            recv_pad = recv_pad.at[0].set(x[0]).at[1].set(y[0])
+            recv_pack = jnp.concatenate([recv_pack, recv_pad], axis=1)
+        return src_pack, recv_pack
+
+    def _repulsive_culled(self, state: AgentState, cache=None):
+        """Block-sparse culled mixed-family pairwise stage."""
+        cfg = self.neighbors
+        n = self.n
+        blk = cfg.block
+        npad = ((n + blk - 1) // blk) * blk
+        dtype = state.s.dtype
+        src_pack, recv_pack = self.pack_pair_fields_mixed(state, npad)
+        if cache is None:
+            cache = eng.build_neighbor_cache(cfg, state)
+        perm, nbr, valid = cache[0], cache[1], cache[2]
+        out = eng.pair_kernel_dispatch(
+            cfg, self.priority_p2r, nbr, valid,
+            src_pack[perm], recv_pack[:, perm], mixed=True)
+        fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
+        fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
+        return fx, fy
+
+    def calc_forces(self, state: AgentState, nbr_cache=None):
         fdx, fdy, state = self._dest_forces(state)
+        if self.scripted is not None:
+            # scripted agents have no destination force (reference
+            # vehicle.py:985-986)
+            fdx = jnp.where(self.scripted.mask, 0.0, fdx)
+            fdy = jnp.where(self.scripted.mask, 0.0, fdy)
         if self.n > 1:
-            frx, fry = self._repulsive(state)
+            if self.neighbors is not None:
+                frx, fry = self._repulsive_culled(state, nbr_cache)
+            else:
+                frx, fry = self._repulsive(state)
             fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
         else:
             fx, fy = fdx, fdy
@@ -164,9 +283,9 @@ class MixedEngine(struct.PyTreeNode):
 
     # ---- stepping ----
 
-    def step(self, state: AgentState) -> AgentState:
+    def step(self, state: AgentState, nbr_cache=None) -> AgentState:
         before = state
-        fx, fy, state = self.calc_forces(state)
+        fx, fy, state = self.calc_forces(state, nbr_cache)
         for gi, g in enumerate(self.groups):
             sub = state_slice(state, g.lo, g.hi)
             sub = sub.replace(key=jax.random.fold_in(state.key, gi))
@@ -174,16 +293,43 @@ class MixedEngine(struct.PyTreeNode):
                                fy[g.lo:g.hi])
             state = state_merge(state, g.lo, g.hi, new)
         state = state.replace(key=jax.random.split(before.key)[0])
-        helper = eng.Engine(params=None, model_step=None)
+        helper = eng.Engine(params=None, model_step=None,
+                            scripted=self.scripted)
         return helper.finish_step(before, state)
 
     def simulate(self, state: AgentState, n_steps: int,
                  record: bool = True):
+        """Scan loop; with a NeighborConfig whose rebuild_every > 1 the
+        sort + table rebuild amortizes over chunks (as Engine.simulate)."""
         def body(st, _):
-            st = self.step(st)
+            cache = (eng.build_neighbor_cache(self.neighbors, st)
+                     if self.neighbors is not None else None)
+            st = self.step(st, cache)
             return st, (st.s if record else None)
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        k = (self.neighbors.rebuild_every
+             if self.neighbors is not None else 1)
+        if k <= 1 or n_steps < k:
+            return jax.lax.scan(body, state, None, length=n_steps)
+        n_chunks, rem = divmod(n_steps, k)
+
+        def chunk(st, _):
+            cache = eng.build_neighbor_cache(self.neighbors, st)
+
+            def inner(st, _):
+                st = self.step(st, cache)
+                return st, (st.s if record else None)
+
+            return jax.lax.scan(inner, st, None, length=k)
+
+        state, recs = jax.lax.scan(chunk, state, None, length=n_chunks)
+        recs = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks * k,) + a.shape[2:]), recs)
+        if rem:
+            state, tail = jax.lax.scan(body, state, None, length=rem)
+            recs = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), recs, tail)
+        return state, recs
 
 
 def prepare_groups(engine: MixedEngine, state: AgentState) -> AgentState:
