@@ -137,6 +137,84 @@ class CarDrawing2D:
                                               facecolor=color, alpha=0.8))]
 
 
+class Arrow2D:
+    """Updateable 2D arrow, optionally projected into the ground plane
+    (z = 0) of a 3D axes (reference vizualisation.py:866-1020 `Arrow2D`;
+    flagged "under development" upstream -- this version fixes the
+    reference's broken `update` path, whose `Line2D.set_xy` call does not
+    exist, and supports animation).
+
+    The arrow points from (x, y) to (x + dx, y + dy): a line tail plus a
+    triangular head of absolute head length/width, rotated to the arrow
+    direction.
+    """
+
+    def __init__(self, ax, x, y, dx, dy, headlength, headwidth,
+                 proj_3d=False, **kwargs):
+        self.headlength = float(headlength)
+        self.headwidth = float(headwidth)
+        self.proj_3d = bool(proj_3d)
+        tail, head = self._keypoints(x, y, dx, dy)
+
+        if proj_3d:
+            from matplotlib.collections import PolyCollection
+            from mpl_toolkits.mplot3d.art3d import Line3D
+
+            self.vect = Line3D(tail[:, 0], tail[:, 1],
+                               np.zeros_like(tail[:, 1]), **kwargs)
+            self.head = PolyCollection((head,), **kwargs)
+            ax.add_collection3d(self.head, zs=0)
+        else:
+            import matplotlib.patches as mpatches
+            from matplotlib.lines import Line2D
+
+            self.vect = Line2D(tail[:, 0], tail[:, 1], **kwargs)
+            self.head = mpatches.Polygon(head, closed=True, **kwargs)
+            ax.add_patch(self.head)
+        ax.add_artist(self.vect)
+
+    def _keypoints(self, x, y, dx, dy):
+        """Tail segment + head triangle, head rotated to atan2(dy, dx)
+        and anchored at the tip (reference calcKeypoints)."""
+        ang = np.arctan2(dy, dx)
+        R = _rot(ang)
+        head_local = np.array([
+            [0.0, -self.headlength, -self.headlength],
+            [0.0, self.headwidth / 2, -self.headwidth / 2]])
+        head = (R @ head_local).T + np.array([x + dx, y + dy])
+        tail = np.array([[x, y], [x + dx, y + dy]])
+        return tail, head
+
+    def update(self, x, y, dx, dy, headlength=None, headwidth=None,
+               **kwargs):
+        """Move (and optionally restyle) the arrow in place -- works for
+        both the 2D and the 3D-projected form (animatable, unlike the
+        reference)."""
+        if headlength is not None:
+            self.headlength = float(headlength)
+        if headwidth is not None:
+            self.headwidth = float(headwidth)
+        tail, head = self._keypoints(x, y, dx, dy)
+        if self.proj_3d:
+            self.vect.set_data_3d(tail[:, 0], tail[:, 1],
+                                  np.zeros_like(tail[:, 1]))
+            # add_collection3d(zs=0) promoted the head to a
+            # Poly3DCollection: updates must carry the z column and an
+            # explicit closing vertex (its projection re-uses the closed
+            # path codes)
+            ring = np.vstack([head, head[:1]])
+            head3 = np.column_stack([ring, np.zeros(len(ring))])
+            self.head.set_verts((head3,), closed=False)
+        else:
+            self.vect.set_data(tail[:, 0], tail[:, 1])
+            # explicitly closed ring: set_xy on a closed Polygon keeps
+            # stale path codes when the vertex count changes
+            self.head.set_xy(np.vstack([head, head[:1]]))
+        if kwargs:
+            self.vect.set(**kwargs)
+            self.head.set(**kwargs)
+
+
 class SceneDrawing:
     """Population renderer: bikes/cars, trails, destinations, force arrows
     (the reference's per-vehicle VehicleDrawing, vectorized)."""

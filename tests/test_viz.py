@@ -164,3 +164,36 @@ def test_plot_force_field_renders():
                             quiver_step=2.0, slice_y=0.0)
     assert len(np.atleast_1d(axes)) == 2
     plt.close("all")
+
+
+def test_arrow2d_2d_and_3d_projection():
+    """Arrow2D draws in 2D axes and in the ground plane of 3D axes, and
+    (unlike the reference's WIP version, vizualisation.py:866-1020) can
+    be updated in place for animation."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from cyclistsocialforce_tpu.viz import Arrow2D
+
+    fig, ax = plt.subplots()
+    a = Arrow2D(ax, 1.0, 2.0, 3.0, 0.0, headlength=0.5, headwidth=0.3,
+                color="C0")
+    # head tip sits at (x+dx, y+dy); head base behind it along the arrow
+    head = np.asarray(a.head.get_xy())
+    np.testing.assert_allclose(head[0], [4.0, 2.0], atol=1e-12)
+    assert np.all(head[1:3, 0] <= 4.0 - 0.5 + 1e-12)  # [3] closes the polygon
+    a.update(0.0, 0.0, 0.0, 2.0)
+    head = np.asarray(a.head.get_xy())
+    np.testing.assert_allclose(head[0], [0.0, 2.0], atol=1e-12)
+    fig.canvas.draw()
+    plt.close(fig)
+
+    fig = plt.figure()
+    ax3 = fig.add_subplot(projection="3d")
+    a3 = Arrow2D(ax3, 0.0, 0.0, 1.0, 1.0, headlength=0.3, headwidth=0.2,
+                 proj_3d=True, color="C1")
+    a3.update(1.0, 1.0, -1.0, 0.5)
+    fig.canvas.draw()
+    plt.close(fig)
