@@ -394,6 +394,17 @@ class NeighborConfig:
                 and self._key() == other._key())
 
 
+def _hfov_is_full(params) -> bool:
+    """Host-side check at engine build time: does every agent's half
+    field of view cover the full circle? (Concrete params only; traced
+    values conservatively return False.)"""
+    try:
+        h = np.asarray(jax.device_get(getattr(params, "hfov")))
+    except Exception:   # noqa: BLE001 - traced/missing -> keep the mask
+        return False
+    return bool(np.all(h >= 2.0 * np.pi - 1e-9))
+
+
 def build_neighbor_cache(cfg: NeighborConfig, state):
     """Culling structure (perm, nbr, valid, overflow) over the padded
     population with the skin-extended cutoff (shared by Engine and
@@ -412,7 +423,8 @@ def build_neighbor_cache(cfg: NeighborConfig, state):
 
 def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
                          nbr, valid, src_sorted, recv_sorted,
-                         recv_offset=None, mixed: bool = False):
+                         recv_offset=None, mixed: bool = False,
+                         fov: bool = True):
     """Run the configured neighbor-tile backend; [2, B*block] sorted
     forces. src/recv must already be in cell-sorted order."""
     from cyclistsocialforce_tpu.ops import pallas_forces as PF
@@ -424,20 +436,26 @@ def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
         return PF.pair_forces_neighbors_xla(
             nbr, valid, src_sorted, recv_sorted, block=blk,
             priority_p2r=priority_p2r, recv_offset=recv_offset,
-            mixed=mixed)
+            mixed=mixed, fov=fov)
+    if cfg.backend in ("pallas_unrolled", "interpret_unrolled"):
+        return PF.pair_forces_neighbors_unrolled(
+            nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
+            priority_p2r=priority_p2r,
+            interpret=(cfg.backend == "interpret_unrolled"),
+            recv_offset=recv_offset, mixed=mixed, fov=fov).astype(dtype)
     if cfg.backend in ("pallas_db", "interpret_db"):
         return PF.pair_forces_neighbors_db(
             nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
             priority_p2r=priority_p2r,
             interpret=(cfg.backend == "interpret_db"),
             cutoff=cfg.cutoff, recv_offset=recv_offset,
-            mixed=mixed).astype(dtype)
+            mixed=mixed, fov=fov).astype(dtype)
     return PF.pair_forces_neighbors(
         nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
         priority_p2r=priority_p2r,
         interpret=(cfg.backend == "interpret"),
         cutoff=cfg.cutoff, recv_offset=recv_offset,
-        mixed=mixed, sub=cfg.sub, screen=cfg.screen).astype(dtype)
+        mixed=mixed, sub=cfg.sub, screen=cfg.screen, fov=fov).astype(dtype)
 
 
 class RoadElements(struct.PyTreeNode):
@@ -512,6 +530,10 @@ class Engine(struct.PyTreeNode):
     # blocks within the cutoff (Pallas kernel on TPU) -- O(N * density)
     # instead of O(N^2). Only the "twod" force family is supported.
     neighbors: Any = struct.field(pytree_node=False, default=None)
+    # True when every agent's hfov covers the full circle (the reference
+    # Vehicle default): the kernels then elide the FOV cone test
+    # statically (semantically a no-op, ~6 full-tile ops/pair saved).
+    full_fov: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, params, model, road=None, dest_force=None,
@@ -539,7 +561,8 @@ class Engine(struct.PyTreeNode):
                    model_step=model.step, dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),
                    rep_chunk=rep_chunk, rep_reduce=rep_reduce,
-                   combine_forces=combine, neighbors=neighbors)
+                   combine_forces=combine, neighbors=neighbors,
+                   full_fov=_hfov_is_full(params))
 
     # ---- one simulation step ----
 
@@ -642,7 +665,8 @@ class Engine(struct.PyTreeNode):
         forces. src/recv must already be in cell-sorted order."""
         return pair_kernel_dispatch(self.neighbors, self.priority_p2r,
                                     nbr, valid, src_sorted, recv_sorted,
-                                    recv_offset=recv_offset, mixed=mixed)
+                                    recv_offset=recv_offset, mixed=mixed,
+                                    fov=not self.full_fov)
 
     def repulsive_sum_neighbors(self, state: AgentState, cache=None,
                                 presorted: bool = False):

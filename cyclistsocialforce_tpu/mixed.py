@@ -82,6 +82,7 @@ class MixedEngine(struct.PyTreeNode):
     scripted: Any = None                          # ScriptedTraj or None
     priority_p2r: bool = struct.field(pytree_node=False, default=False)
     neighbors: Any = struct.field(pytree_node=False, default=None)
+    full_fov: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, group_specs, road=None,
@@ -109,7 +110,9 @@ class MixedEngine(struct.PyTreeNode):
             lo += n
         return cls(groups=tuple(groups), road=road, scripted=scripted,
                    priority_p2r=(priority_rule == "p2r"),
-                   neighbors=neighbors)
+                   neighbors=neighbors,
+                   full_fov=all(eng._hfov_is_full(g.params)
+                                for g in groups))
 
     @property
     def n(self):
@@ -254,7 +257,8 @@ class MixedEngine(struct.PyTreeNode):
         perm, nbr, valid = cache[0], cache[1], cache[2]
         out = eng.pair_kernel_dispatch(
             cfg, self.priority_p2r, nbr, valid,
-            src_pack[perm], recv_pack[:, perm], mixed=True)
+            src_pack[perm], recv_pack[:, perm], mixed=True,
+            fov=not self.full_fov)
         fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
         fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
         return fx, fy

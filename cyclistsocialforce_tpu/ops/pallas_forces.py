@@ -42,7 +42,8 @@ _SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT, \
 
 def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
                  *, block: int, priority_p2r: bool, cutoff2: float,
-                 mixed: bool = False, sub: int = 0, screen: bool = True):
+                 mixed: bool = False, sub: int = 0, screen: bool = True,
+                 fov: bool = True):
     b = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -59,7 +60,7 @@ def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
             # forces a vector->scalar SREG roundtrip (~0.25 us pipeline
             # stall per tile) that costs more than it saves
             fx, fy = _tile_forces(src_ref, recv_ref, priority_p2r,
-                                  mixed=mixed)
+                                  mixed=mixed, fov=fov)
             out_ref[0:1, :] += fx
             out_ref[1:2, :] += fy
         elif sub:
@@ -78,7 +79,7 @@ def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
                 @pl.when(rho2_min <= cutoff2)
                 def _strip(strip=strip):
                     fx, fy = _tile_forces(strip, recv_ref, priority_p2r,
-                                          mixed=mixed)
+                                          mixed=mixed, fov=fov)
                     out_ref[0:1, :] += fx
                     out_ref[1:2, :] += fy
         else:
@@ -91,20 +92,22 @@ def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
             @pl.when(rho2_min <= cutoff2)
             def _inner():
                 fx, fy = _tile_forces(src_ref, recv_ref, priority_p2r,
-                                      mixed=mixed)
+                                      mixed=mixed, fov=fov)
                 out_ref[0:1, :] += fx
                 out_ref[1:2, :] += fy
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
                                              "interpret", "cutoff",
-                                             "mixed", "sub", "screen"))
+                                             "mixed", "sub", "screen",
+                                             "fov"))
 def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                           priority_p2r: bool = False,
                           interpret: bool = False,
                           cutoff: float = float("inf"),
                           recv_offset=None, mixed: bool = False,
-                          sub: int = 0, screen: bool = True):
+                          sub: int = 0, screen: bool = True,
+                          fov: bool = True):
     """Block-sparse pairwise force sum.
 
     nbr, valid : [B, KB] neighbor-block table (ops.neighbors); `nbr`
@@ -145,7 +148,8 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
         assert block % sub == 0 and sub % 8 == 0, (block, sub)
     kernel = functools.partial(_pair_kernel, block=block,
                                priority_p2r=priority_p2r, cutoff2=c2,
-                               mixed=mixed, sub=sub, screen=screen)
+                               mixed=mixed, sub=sub, screen=screen,
+                               fov=fov)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -163,7 +167,7 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
 
 
 def _tile_forces(src_tile, recv_ref, priority_p2r,
-                 mixed: bool = False):
+                 mixed: bool = False, fov: bool = True):
     """[S, T] tile math + mask; returns (fx_row, fy_row) [1, T] sums.
     Shared by both kernels; src_tile is a [S, 16] VMEM array/ref value
     (a whole source block, or a strip of one). Self-pairs are excluded
@@ -239,12 +243,16 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     #   * emit-side activity and f_0 > 0 are FOLDED into the single
     #     packed _SACT column by engine.pack_pair_fields (emit flag);
     #   * sigma > 0 guards the vdecay polynomial going non-physical.
-    rho_cos_rel = -(dx * cr + dy * sr)
-    tracked = rho_cos_rel >= sc(_CHF) * rho   # cmp in rho-scaled form
+    tracked = rho2 > 0.0
+    if fov:
+        # with fov=False (every agent's hfov == 2 pi, the reference's
+        # Vehicle default) the cone test is statically elided (~6 full-
+        # tile ops)
+        rho_cos_rel = -(dx * cr + dy * sr)
+        tracked &= rho_cos_rel >= sc(_CHF) * rho   # rho-scaled form
     if priority_p2r:
         rho_sin_rel = -(dy * cr - dx * sr)
         tracked &= rho_sin_rel <= 0
-    tracked &= rho2 > 0.0
     tracked &= (sc(_SACT) > 0) & (act_r > 0)   # cheap [S,1] / [1,R] cmps
     tracked &= sigma > 0
 
@@ -273,13 +281,99 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     return fx, fy
 
 
+def _pair_kernel_unrolled(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
+                          out_ref, scratch, sems, *, block: int, kb: int,
+                          priority_p2r: bool, mixed: bool = False,
+                          fov: bool = True):
+    """One program per RECEIVER block; all KB source-tile DMAs are issued
+    up-front into a KB-deep VMEM scratch and the accumulate loop is
+    STATICALLY UNROLLED -- no per-tile program switch, no fori-loop
+    sequencing, no runtime distance screen. The per-tile cost collapses
+    to a scalar validity branch while the DMA engine pipelines the
+    copies behind the compute."""
+    b = pl.program_id(0)
+
+    def dma(k):
+        blk = nbr_ref[b, k]
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(blk * block, block), :],
+            scratch.at[k], sems.at[k])
+
+    for k in range(kb):          # issue everything; invalid entries point
+        dma(k).start()           # at the block's own tile (safe index)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    for k in range(kb):
+        dma(k).wait()
+
+        @pl.when(valid_ref[b, k] == 1)
+        def _acc(k=k):
+            fx, fy = _tile_forces(scratch[k][:, :SRC_COLS], recv_ref,
+                                  priority_p2r, mixed=mixed, fov=fov)
+            out_ref[0:1, :] += fx
+            out_ref[1:2, :] += fy
+
+
+@functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
+                                             "interpret", "mixed", "fov"))
+def pair_forces_neighbors_unrolled(nbr, valid, src_pack, recv_pack,
+                                   block: int = 128,
+                                   priority_p2r: bool = False,
+                                   interpret: bool = False,
+                                   recv_offset=None, mixed: bool = False,
+                                   fov: bool = True):
+    """Unrolled-DMA block-sparse pairwise force sum (see
+    _pair_kernel_unrolled). The source pack is padded to 128 columns
+    (HBM->VMEM copies need the minor dim lane-aligned); VMEM scratch is
+    KB x block x 128 x 4 B, so block=128/kb<=28 fits comfortably."""
+    n_src = src_pack.shape[0]
+    bcount, kb = nbr.shape
+    n_out = bcount * block
+    assert n_src % block == 0
+    assert recv_pack.shape[1] == n_out
+    if recv_offset is None:
+        recv_offset = jnp.zeros((1,), jnp.int32)
+    if src_pack.shape[1] < 128:
+        src_pack = jnp.concatenate(
+            [src_pack, jnp.zeros((n_src, 128 - src_pack.shape[1]),
+                                 src_pack.dtype)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # src stays in HBM
+            pl.BlockSpec((RECV_ROWS, block),
+                         lambda b, nbr_ref, valid_ref, roff_ref: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((2, block),
+                               lambda b, nbr_ref, valid_ref, roff_ref:
+                               (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((kb, block, 128), src_pack.dtype),
+            pltpu.SemaphoreType.DMA((kb,)),
+        ],
+    )
+    kernel = functools.partial(_pair_kernel_unrolled, block=block, kb=kb,
+                               priority_p2r=priority_p2r, mixed=mixed,
+                               fov=fov)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, n_out), src_pack.dtype),
+        interpret=interpret,
+    )(nbr, valid.astype(jnp.int32), recv_offset.astype(jnp.int32),
+      src_pack, recv_pack)
+
+
 _DB_DEPTH = 4   # DMA pipeline depth (slots prefetched ahead)
 
 
 def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
                     out_ref, scratch, sems, *, block: int, kb: int,
                     priority_p2r: bool, cutoff2: float,
-                    mixed: bool = False):
+                    mixed: bool = False, fov: bool = True):
     b = pl.program_id(0)
     depth = _DB_DEPTH
 
@@ -308,7 +402,7 @@ def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
             @pl.when(jnp.min(dx * dx + dy * dy) <= cutoff2)
             def _inner():
                 fx, fy = _tile_forces(tile[:, :SRC_COLS], recv_ref,
-                                      priority_p2r, mixed=mixed)
+                                      priority_p2r, mixed=mixed, fov=fov)
                 out_ref[0:1, :] += fx
                 out_ref[1:2, :] += fy
 
@@ -324,12 +418,13 @@ def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
                                              "interpret", "cutoff",
-                                             "mixed"))
+                                             "mixed", "fov"))
 def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
                              block: int = 256, priority_p2r: bool = False,
                              interpret: bool = False,
                              cutoff: float = float("inf"),
-                             recv_offset=None, mixed: bool = False):
+                             recv_offset=None, mixed: bool = False,
+                             fov: bool = True):
     """Double-buffered block-sparse pairwise force sum (grid = receiver
     blocks only; neighbor tiles stream through a 2-slot VMEM scratch).
 
@@ -367,7 +462,7 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     kernel = functools.partial(_pair_kernel_db, block=block, kb=kb,
                                priority_p2r=priority_p2r, cutoff2=c2,
-                               mixed=mixed)
+                               mixed=mixed, fov=fov)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -386,7 +481,8 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
 def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
                               block: int = 128,
                               priority_p2r: bool = False,
-                              recv_offset=None, mixed: bool = False):
+                              recv_offset=None, mixed: bool = False,
+                              fov: bool = True):
     """Gather-based evaluation of the identical block-sparse structure.
 
     With mixed=True, the per-row _FAM column selects the twod or legacy
@@ -434,8 +530,11 @@ def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
         dys = s[:, 1:2] - r[None, :, 1]
         rho = jnp.sqrt(dxs**2 + dys**2)
         safe = jnp.where(rho > 0, rho, 1.0)
-        cos_rel = (dxs * r[None, :, 2] + dys * r[None, :, 3]) / safe
-        tracked = cos_rel >= s[:, 11:12]
+        if fov:
+            cos_rel = (dxs * r[None, :, 2] + dys * r[None, :, 3]) / safe
+            tracked = cos_rel >= s[:, 11:12]
+        else:
+            tracked = jnp.ones_like(rho, dtype=bool)
         if priority_p2r:
             sin_rel = (dys * r[None, :, 2] - dxs * r[None, :, 3]) / safe
             tracked &= sin_rel <= 0

@@ -25,15 +25,23 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--agents", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--density", type=float, default=0.02,
+                    help="agents/m^2 (0.02 = heavy bike traffic)")
     ap.add_argument("--dense", action="store_true",
                     help="dense O(N^2) instead of neighbor culling")
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla", "interpret"])
     args = ap.parse_args()
 
-    _, state = _build(args.agents, dtype=np.float32)
+    # the bench configuration (see BASELINE.md): serpentine-sorted
+    # block=128 tables, capacity kb=14 (overflow-audited at 0.02/m^2),
+    # 50 m cutoff (dropped force < 1e-4), no runtime screen
+    _, state = _build(args.agents, dtype=np.float32,
+                      density=args.density, hist_len=8,
+                      pad_to_block=None if args.dense else 128)
     nb = None if args.dense else NeighborConfig(
-        cutoff=60.0, block=256, kb=8, backend=args.backend, rebuild_every=20)
+        cutoff=50.0, block=128, kb=14, backend=args.backend,
+        rebuild_every=20, screen=False)
     eng = Engine.create(
         BicycleParams.create(), MODELS["bicycle2d"], rep_force="twod",
         neighbors=nb, rep_chunk=1000 if args.dense else None)

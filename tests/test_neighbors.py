@@ -181,3 +181,40 @@ def test_full_step_with_neighbors_under_scan():
         cutoff=60.0, block=64, kb=9, backend="xla"))
     final, traj = jax.jit(lambda e, s: e.simulate(s, 20))(eng, st)
     assert np.all(np.isfinite(np.asarray(traj)))
+
+
+def test_full_fov_elision_matches_dense():
+    """With hfov = 2*pi (the reference Vehicle default) the engine elides
+    the FOV cone test statically (Engine.full_fov); results must equal
+    the dense path exactly, and the flag must NOT be set for real FOVs."""
+    from cyclistsocialforce_tpu.params import BicycleParams, as_population
+
+    n = 256
+    rng = np.random.default_rng(11)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 120, n)
+    s0[:, 1] = rng.uniform(0, 120, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    p_full = as_population(BicycleParams.create(hfov=2 * np.pi), n)
+    assert float(np.max(np.asarray(p_full.hfov))) >= 2 * np.pi - 1e-9
+
+    dense = Engine.create(p_full, MODELS["bicycle2d"], rep_force="twod")
+    assert dense.full_fov
+    frx_d, fry_d = dense.repulsive_sum(st)
+    for backend in ("xla", "interpret"):
+        culled = Engine.create(
+            p_full, MODELS["bicycle2d"], rep_force="twod",
+            neighbors=NeighborConfig(cutoff=1e4, block=64, kb=4,
+                                     backend=backend, screen=False))
+        frx_c, fry_c = culled.repulsive_sum_neighbors(st)
+        tol = 1e-9 if backend == "xla" else 1e-4
+        np.testing.assert_allclose(np.asarray(frx_c), np.asarray(frx_d),
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray(fry_c), np.asarray(fry_d),
+                                   atol=tol)
+
+    # a real (partial) FOV population must keep the mask
+    p_fov = as_population(InvPendulumBicycleParams.create(), n)
+    assert not Engine.create(p_fov, MODELS["twod"]).full_fov
