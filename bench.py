@@ -152,8 +152,13 @@ def main_heavy(n_agents=100_000, n_steps=60, density=0.02):
         sub=0, screen=False,
         backend="pallas" if on_tpu else "xla")
     model = MODELS["balancingrider"]
+    # gains_lut: K(v) tabulated at 4096 points (dv = 2.7e-3 m/s; max
+    # relative gain error 4e-7 in the stable speed band) instead of the
+    # per-step exact Ackermann placement -- the default/model-parity path
+    # stays exact; see BASELINE.md for both measured numbers
     engine = Engine.create(
-        BalancingRiderParams.create(), model, neighbors=cfg)
+        BalancingRiderParams.create(gains_lut=4096, verbose=False),
+        model, neighbors=cfg)
     state = model.prepare(engine.params, state)
 
     run = jax.jit(lambda e, s: e.simulate(s, n_steps, record=False)[0])
@@ -173,9 +178,9 @@ def main_heavy(n_agents=100_000, n_steps=60, density=0.02):
     agent_steps_per_sec = n_agents * n_steps / dt
     print(json.dumps({
         "metric": f"agent-steps/sec, N={n_agents}, flagship "
-                  f"balancingrider (Whipple-Carvallo + Ackermann pole "
-                  f"placement + batched 5x5 midpoint solve), culled "
-                  f"pairwise field",
+                  f"balancingrider (Whipple-Carvallo + batched 5x5 "
+                  f"midpoint solve; 4096-pt tabulated Ackermann gain "
+                  f"schedule), culled pairwise field",
         "value": round(agent_steps_per_sec, 1),
         "unit": "agent-steps/sec",
         "vs_baseline": round(agent_steps_per_sec / (100.0 * n_agents), 3),

@@ -166,6 +166,19 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     if params.br_gains_fixed is not None:
         K = jnp.broadcast_to(jnp.asarray(params.br_gains_fixed, dtype=dtype),
                              (n, 5))
+    elif getattr(params, "br_gains_lut", None) is not None:
+        # precomputed K(v) table (deterministic mode; params.create
+        # gains_lut=G): linear interpolation on the uniform speed grid
+        # replaces the per-agent Ackermann placement (~2 ms/step at
+        # N = 100k); same changed-speed gating as the exact path
+        changed = v_new != v_old
+        tab, v0, dv = params.br_gains_lut
+        tab = jnp.asarray(tab, dtype=dtype)
+        t = (v_mid - jnp.asarray(v0, dtype)) / jnp.asarray(dv, dtype)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, tab.shape[0] - 2)
+        w = (t - i0.astype(dtype))[:, None]
+        K_new = tab[i0] * (1.0 - w) + tab[i0 + 1] * w
+        K = jnp.where(changed[:, None], K_new, state.dyn_gains[:, _KX])
     else:
         changed = v_new != v_old
         feats, state = _pole_features(params, state, v_mid, n, gate=changed)

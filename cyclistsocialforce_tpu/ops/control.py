@@ -90,10 +90,11 @@ def ackermann(A, B, coeffs):
     Built on ops.smallmat (unrolled static-index linear algebra): under
     `jax.vmap` over a 1e5-agent batch every product is one [N]-wide VPU
     op, instead of the batched-tiny-LU path `jnp.linalg.solve` takes on
-    TPU. K is computed as y^T phi(A) with ctrb^T y = e_n (one vector
-    solve instead of a matrix solve)."""
-    from cyclistsocialforce_tpu.ops.smallmat import (matmul_small,
-                                                     matvec_small,
+    TPU. phi(A) is never materialized: K = y^T phi(A) with
+    ctrb^T y = e_n, evaluated by Horner on the VECTOR --
+    r <- A^T r + c_k y -- so the whole placement costs n matvecs
+    (n^3 ops) instead of n matmuls (n^4 ops)."""
+    from cyclistsocialforce_tpu.ops.smallmat import (matvec_small,
                                                      solve_small)
 
     B = B.reshape(-1)
@@ -102,13 +103,13 @@ def ackermann(A, B, coeffs):
     for _ in range(n - 1):
         cols.append(matvec_small(A, cols[-1]))
     ctrb = jnp.stack(cols, axis=1)
-    phiA = jnp.zeros_like(A)
-    eye = jnp.eye(n, dtype=A.dtype)
-    for k in range(n + 1):
-        phiA = matmul_small(phiA, A) + coeffs[k] * eye
     en = jnp.zeros((n,), dtype=A.dtype).at[-1].set(1.0)
     y = solve_small(ctrb.T, en)
-    return matvec_small(phiA.T, y)
+    At = A.T
+    r = coeffs[0] * y                 # monic: coeffs[0] == 1
+    for k in range(1, n + 1):
+        r = matvec_small(At, r) + coeffs[k] * y
+    return r
 
 
 def place_siso(A, B, poles):

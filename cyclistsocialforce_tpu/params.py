@@ -374,10 +374,15 @@ class BalancingRiderParams(BicycleParams):
     # ([:, 0] intercept, [:, 1] slope), or fixed gains [5]
     br_pole_lin: Any = None
     br_gains_fixed: Any = None
+    # Optional precomputed gains lookup table (deterministic mode only):
+    # (table [G, 5], v_lo, dv) -- K(v) sampled on a uniform speed grid at
+    # build time, linearly interpolated per step instead of running the
+    # Ackermann placement per agent (see models/balancingrider.py).
+    br_gains_lut: Any = None
     # Fields that describe the (single) physical bicycle / behavior model
     # and stay shared across the population in `as_population`.
     POPULATION_SHARED = ("br_A0", "br_A1", "br_A2", "br_B", "br_B_roll",
-                         "polemodel_rt")
+                         "polemodel_rt", "br_gains_lut")
     # stochastic control behavior (reference parameters.py:1376-1411)
     stochastic_control_behavior: bool = struct.field(
         pytree_node=False, default=False)
@@ -399,6 +404,7 @@ class BalancingRiderParams(BicycleParams):
                controlparam_polemodel_component=0,
                p_dist_roll=0.0, p_dist_steer=0.0,
                T_dist_roll=9000.0, T_dist_steer=1000.0,
+               gains_lut=0,
                calib_mode=False, verbose=True, **kw):
         from cyclistsocialforce_tpu import behavior
         from cyclistsocialforce_tpu.ops import whipple
@@ -462,10 +468,63 @@ class BalancingRiderParams(BicycleParams):
                 pole_lin = pm.component_mean_function_params()[
                     controlparam_polemodel_component]
 
+        # optional gains lookup table (speed-of-light per-step path for
+        # the deterministic flagship model: K(v) is a smooth pure
+        # function of speed when the pole features are the linear mean
+        # functions, so precompute it on a uniform grid and interpolate;
+        # max |K_lut - K_exact| ~ (dv)^2 -- pinned by tests)
+        lut = None
+        if gains_lut:
+            if stochastic_control_behavior:
+                raise ValueError(
+                    "gains_lut requires deterministic control behavior "
+                    "(stochastic pole features make K depend on more "
+                    "than the speed)")
+            if gains_fixed is None:
+                from cyclistsocialforce_tpu.ops.control import (
+                    ackermann, charpoly_from_pole_features)
+                import jax
+                import jax.numpy as jnp
+
+                vmr = kw.get("v_max_riding", cls.v_max_riding)
+                v_lo, v_hi = float(pair_lo(vmr)), float(pair_hi(vmr))
+                g = int(gains_lut)
+                vs = np.linspace(v_lo, v_hi, g)
+
+                def k_at(v):
+                    A = jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1) \
+                        + v * v * jnp.asarray(A2)
+                    feats = (jnp.asarray(pole_lin)[:, 0]
+                             + jnp.asarray(pole_lin)[:, 1] * v)
+                    return ackermann(A, jnp.asarray(B),
+                                     charpoly_from_pole_features(feats))
+
+                tab = np.array(jax.vmap(k_at)(jnp.asarray(vs)))  # writable copy
+                # the plant is uncontrollable at v = 0 exactly (the yaw
+                # row of A scales with v), so a grid point landing on it
+                # yields a non-finite K -- as does the reference's
+                # ct.place. Repair such isolated rows by interpolating
+                # between the nearest finite neighbors.
+                bad = ~np.isfinite(tab).all(axis=1)
+                if bad.any():
+                    good = np.where(~bad)[0]
+                    for j in np.where(bad)[0]:
+                        lo = good[good < j]
+                        hi = good[good > j]
+                        if len(lo) and len(hi):
+                            a, b = lo[-1], hi[0]
+                            t = (j - a) / (b - a)
+                            tab[j] = (1 - t) * tab[a] + t * tab[b]
+                        else:
+                            tab[j] = tab[lo[-1] if len(lo) else hi[0]]
+                lut = (tab, np.float64(v_lo),
+                       np.float64((v_hi - v_lo) / (g - 1)))
+
         return super().create(
             calib_mode=calib_mode, verbose=verbose,
             br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
             br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
+            br_gains_lut=lut,
             stochastic_control_behavior=bool(stochastic_control_behavior),
             controlparam_resampling_speedthresh=(
                 controlparam_resampling_speedthresh),

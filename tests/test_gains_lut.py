@@ -1,0 +1,79 @@
+"""Tabulated gain schedule for the balancing rider (opt-in perf knob).
+
+K(v) from deterministic pole features is a smooth pure function of speed,
+so `BalancingRiderParams.create(gains_lut=G)` precomputes it on a uniform
+grid and the step interpolates linearly instead of running the per-agent
+Ackermann placement (reference dynamics.py:602-615 computes it exactly on
+every speed change; the default path here does too)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cyclistsocialforce_tpu import Engine, make_state
+from cyclistsocialforce_tpu.models import MODELS
+from cyclistsocialforce_tpu.models import balancingrider as BR
+from cyclistsocialforce_tpu.params import BalancingRiderParams, as_population
+
+
+def test_lut_matches_exact_gains_in_stable_band():
+    """Relative gain error below 1e-5 for v in the stable band
+    [2.5, v_max] (the model is physically meaningful there; the plant is
+    uncontrollable at v = 0 exactly, where the reference's ct.place
+    fails too)."""
+    p = BalancingRiderParams.create(verbose=False)
+    pl = BalancingRiderParams.create(gains_lut=4096, verbose=False)
+    tab, v0, dv = pl.br_gains_lut
+    assert np.all(np.isfinite(tab))          # v = 0 row repaired
+
+    vs = np.linspace(2.5, 10.0, 311)
+    A0, A1, A2, B, _ = BR._sysmats(p, len(vs), jnp.float64)
+    lin = jnp.asarray(p.br_pole_lin)
+    feats = lin[None, :, 0] + lin[None, :, 1] * jnp.asarray(vs)[:, None]
+    K = np.asarray(jax.vmap(BR._gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        p, A0, A1, A2, B, feats, jnp.asarray(vs)))
+
+    t = (vs - v0) / dv
+    i0 = np.clip(np.floor(t).astype(int), 0, tab.shape[0] - 2)
+    w = (t - i0)[:, None]
+    K_lut = tab[i0] * (1 - w) + tab[i0 + 1] * w
+    err = np.linalg.norm(K_lut - K, axis=1) / np.linalg.norm(K, axis=1)
+    assert err.max() < 1e-5, err.max()
+
+
+def test_lut_trajectories_match_exact():
+    """End-to-end: LUT and exact gain paths produce the same riding
+    trajectories (sub-mm over 2 s at stable speeds)."""
+    rng = np.random.default_rng(4)
+    n = 64
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["balancingrider"]
+    finals = {}
+    for tag, p in (("exact", BalancingRiderParams.create(verbose=False)),
+                   ("lut", BalancingRiderParams.create(gains_lut=4096,
+                                                       verbose=False))):
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["lut"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
+
+
+def test_lut_rejects_stochastic_mode():
+    """Stochastic pole features make K depend on more than the speed."""
+    with pytest.raises(ValueError, match="gains_lut"):
+        BalancingRiderParams.create(gains_lut=256, verbose=False,
+                                    stochastic_control_behavior=True)
