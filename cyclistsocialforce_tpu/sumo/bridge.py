@@ -53,7 +53,8 @@ class SumoIntersection:
     intersection.py:333-539)."""
 
     def __init__(self, net: SumoNetwork, junction, model_name="bicycle2d",
-                 params=None, capacity=32, t_s=0.01, queue_size=16):
+                 params=None, capacity=32, t_s=0.01, queue_size=16,
+                 neighbors=None):
         self.net = net
         self.junction = junction
         self.id = junction.id
@@ -82,7 +83,11 @@ class SumoIntersection:
         s0 = np.zeros((capacity, 8))
         st = make_state(s0, queue_size=queue_size, dtype=np.float64)
         self.state = st.replace(active=jnp.zeros((capacity,), dtype=bool))
-        self.engine = Engine.create(self.params, self.model)
+        # optional block-sparse culled pair stage (NeighborConfig) for
+        # high-capacity junctions; the default dense path is fine at the
+        # reference's per-junction scales (tens of agents)
+        self.engine = Engine.create(self.params, self.model,
+                                    neighbors=neighbors)
         self._step_jit = jax.jit(lambda e, s: e.step(s))
         self._slots: dict[str, int] = {}
         self._rng = np.random.default_rng(0)
@@ -226,7 +231,7 @@ class SumoCoSimulation:
 
     def __init__(self, net: SumoNetwork, transport, bicycle_type="bicycle",
                  t_s=0.01, capacity=32, run_time_factor=None,
-                 params=None):
+                 params=None, neighbors=None):
         self.net = net
         self.transport = transport
         self.t_s = t_s
@@ -235,7 +240,8 @@ class SumoCoSimulation:
         base = params or params_cls.create(t_s=t_s)
         self.intersections = [
             SumoIntersection(net, j, model_name=model_name, params=base,
-                             capacity=capacity, t_s=t_s)
+                             capacity=capacity, t_s=t_s,
+                             neighbors=neighbors)
             for j in net.non_dead_end_junctions()]
         self.hist_run_time: list[float] = []
 

@@ -184,3 +184,36 @@ def test_cosimulation_two_routes_interact(net):
     assert len(solo) > 10 and len(both) > 10
     # the crossing rider pushes b0 off the centerline
     assert np.max(np.abs(both)) > np.max(np.abs(solo)) + 1e-4
+
+
+def test_cosim_with_neighbor_culling(net):
+    """High-capacity co-sim junctions can run the block-sparse culled
+    pair stage (NeighborConfig passthrough): same handover trajectories
+    as the dense default (domain-covering cutoff => exact)."""
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+
+    def run(nb):
+        t = FakeTraCI(net, step_length=0.01)
+        t.add_vehicle("b0", ("EW", "EE"), speed=4.0, depart_pos=38.0)
+        t.add_vehicle("b1", ("ES", "EE"), speed=4.0, depart_pos=38.0)
+        # "twowheeler" = the twod force family (homogeneous-Engine
+        # culling supports twod; legacy crowds go through MixedEngine)
+        cosim = SumoCoSimulation(net, t, bicycle_type="twowheeler",
+                                 capacity=8, neighbors=nb)
+        ins = cosim.intersections[0]
+        pos = []
+        for _ in range(4000):
+            if t.simulation.getMinExpectedNumber() == 0:
+                break
+            cosim.step()
+            if "b0" in ins._slots:
+                pos.append(np.asarray(ins.state.s)[ins._slots["b0"], :2]
+                           .copy())
+        assert t.simulation.getMinExpectedNumber() == 0
+        return np.asarray(pos)
+
+    p_dense = run(None)
+    p_culled = run(NeighborConfig(cutoff=1e3, block=8, kb=2,
+                                  backend="xla"))
+    assert len(p_dense) == len(p_culled) > 0
+    np.testing.assert_allclose(p_culled, p_dense, atol=1e-9)
