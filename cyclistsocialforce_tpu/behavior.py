@@ -624,9 +624,24 @@ class PoleModelRT(struct.PyTreeNode):
         if not pm.is_conditional:
             raise ValueError("PoleModelRT requires a conditional model")
         pre = pm.preprocessing
+        # The conditional covariance cov_c = cov[rest, rest]
+        # - outer(cov_rg) / var_g does NOT depend on the conditioning
+        # value, so its Cholesky is a per-component CONSTANT: precompute
+        # it here instead of running a batched tiny Cholesky per agent
+        # per step on device (a TPU pathology, see ops/smallmat.py).
+        ig = int(pm.idx_given)
+        F = int(pm.gmm.n_features)
+        rest = [i for i in range(F) if i != ig]
+        chols = []
+        for k in range(pm.gmm.n_components):
+            cov = np.asarray(pm.gmm.covariances[k])
+            cov_rg = cov[rest, ig]
+            cov_c = cov[np.ix_(rest, rest)] - np.outer(
+                cov_rg, cov_rg) / cov[ig, ig]
+            chols.append(np.linalg.cholesky(cov_c))
         return cls(
             means=jnp.asarray(pm.gmm.means),
-            cov_chol=None,
+            cov_chol=jnp.asarray(np.stack(chols)),
             covariances=jnp.asarray(pm.gmm.covariances),
             weights=jnp.asarray(pm.gmm.weights),
             lambdas=(None if pre.lambdas is None
@@ -697,25 +712,84 @@ class PoleModelRT(struct.PyTreeNode):
         rest = jnp.asarray(
             [i for i in range(self.n_features) if i != self.idx_given])
 
-        def per_comp(mu, cov, w):
+        def per_comp(mu, cov, w, chol):
             var_g = cov[ig, ig]
             cov_rg = cov[rest, ig]
             d = xg - mu[ig]
             mu_c = mu[rest] + cov_rg / var_g * d
-            cov_c = cov[jnp.ix_(rest, rest)] - jnp.outer(cov_rg,
-                                                         cov_rg) / var_g
             logw = jnp.log(w) - 0.5 * d * d / var_g - 0.5 * jnp.log(
                 2 * jnp.pi * var_g)
-            return mu_c, jnp.linalg.cholesky(cov_c), logw
+            # chol is the precomputed per-component constant (the
+            # conditional covariance is independent of the conditioning
+            # value; from_polemodel)
+            return mu_c, chol, logw
 
         mu_c, chol_c, logw = jax.vmap(per_comp)(
-            self.means, self.covariances, self.weights)
+            self.means, self.covariances, self.weights, self.cov_chol)
         w = jax.nn.softmax(logw)
         return mu_c, chol_c, w
+
+    def _ok(self, f):
+        """Stability + finiteness of a raw feature draw: all real-part
+        features < 0. In 'ImRe' feature sets the real parts are exactly
+        the log-transformed ('real') features (reference sample_poles
+        stability check, controlbehavior.py:1459-1466)."""
+        finite = jnp.all(jnp.isfinite(f))
+        rest = [i for i in range(self.n_features)
+                if i != self.idx_given]
+        if self.log_features:
+            ridx = jnp.asarray([rest.index(i) for i in
+                                self.log_features if i in rest])
+            stable = jnp.all(f[ridx] < 0)
+        else:
+            stable = jnp.array(True)
+        return finite & stable
 
     def sample_features(self, key, v):
         """One stable, finite pole-feature draw [F-1] conditioned on v."""
         return self.sample_features_info(key, v)[0]
+
+    def sample_features_batch(self, key, v):
+        """Population draw: [N] speeds -> ([N, F-1] features, [N] ok).
+
+        Equivalent in distribution to vmapping `sample_features` over
+        per-agent keys, but ALL randomness comes from two bulk calls
+        (one uniform [N, R] for the component choice, one normal
+        [N, R, F-1]) instead of ~9 threefry splits per agent per step --
+        the per-agent key ladder dominated the stochastic path at
+        N = 1e5 (~30 ms/step)."""
+        rounds = self.REJECT_ROUNDS
+        n = v.shape[0]
+        fm1 = self.n_features - 1
+        ku, kz = jax.random.split(key)
+        dtype = self.means.dtype
+        u = jax.random.uniform(ku, (n, rounds), dtype=dtype)
+        z = jax.random.normal(kz, (n, rounds, fm1), dtype=dtype)
+
+        def per_agent(vi, ui, zi):
+            mu_c, chol_c, w = self.conditional(vi)
+            cumw = jnp.cumsum(w)
+
+            def draw(r):
+                comp = jnp.minimum(jnp.sum(ui[r] > cumw), w.shape[0] - 1)
+                oh = (jnp.arange(w.shape[0]) == comp).astype(dtype)
+                mu = jnp.sum(oh[:, None] * mu_c, axis=0)
+                Lz = jnp.sum(oh[:, None]
+                             * jnp.sum(chol_c * zi[r][None, None, :],
+                                       axis=-1), axis=0)
+                return self.inverse_transform_rest(mu + Lz)
+
+            best = draw(0)
+            good = self._ok(best)
+            for r in range(1, rounds):
+                cand = draw(r)
+                take = (~good) & self._ok(cand)
+                best = jnp.where(take, cand, best)
+                good = good | self._ok(cand)
+            fallback = self.inverse_transform_rest(mu_c[jnp.argmax(w)])
+            return jnp.where(good, best, fallback), good
+
+        return jax.vmap(per_agent)(v, u, z)
 
     def sample_features_info(self, key, v):
         """One stable, finite pole-feature draw [F-1] conditioned on v,
@@ -731,28 +805,20 @@ class PoleModelRT(struct.PyTreeNode):
         mu_c, chol_c, w = self.conditional(v)
         fm1 = self.n_features - 1
 
+        def ok(f):
+            return self._ok(f)
+
         def draw(k):
             kc, kn = jax.random.split(k)
             comp = jax.random.choice(kc, w.shape[0], p=w)
             z = jax.random.normal(kn, (fm1,), dtype=mu_c.dtype)
-            x = mu_c[comp] + chol_c[comp] @ z
-            return self.inverse_transform_rest(x)
-
-        def ok(f):
-            # stability: all real-part features < 0. In 'ImRe' feature
-            # sets the real parts are exactly the log-transformed
-            # ('real') features (reference sample_poles stability check,
-            # controlbehavior.py:1459-1466).
-            finite = jnp.all(jnp.isfinite(f))
-            rest = [i for i in range(self.n_features)
-                    if i != self.idx_given]
-            if self.log_features:
-                ridx = jnp.asarray([rest.index(i) for i in
-                                    self.log_features if i in rest])
-                stable = jnp.all(f[ridx] < 0)
-            else:
-                stable = jnp.array(True)
-            return finite & stable
+            # one-hot contraction instead of a dynamic component gather
+            # (vmapped gathers of tiny rows serialize on TPU)
+            oh = (jnp.arange(w.shape[0]) == comp).astype(mu_c.dtype)
+            mu = jnp.sum(oh[:, None] * mu_c, axis=0)
+            Lz = jnp.sum(oh[:, None] * jnp.sum(chol_c * z[None, None, :],
+                                               axis=-1), axis=0)
+            return self.inverse_transform_rest(mu + Lz)
 
         keys = jax.random.split(key, self.REJECT_ROUNDS)
         best = draw(keys[0])

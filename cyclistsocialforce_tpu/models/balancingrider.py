@@ -99,9 +99,8 @@ def _pole_features(params, state, v, n, gate=None):
     if gate is not None:
         need = need & gate
     key, sub = jax.random.split(state.key)
-    keys = jax.random.split(sub, n)
     rt = params.polemodel_rt
-    sampled = jax.vmap(rt.sample_features)(keys, v)
+    sampled, _ = rt.sample_features_batch(sub, v)
     cur = state.dyn_gains[:, _PF]
     feats = jnp.where(need[:, None], sampled, cur)
     v_last = jnp.where(need, v, v_last)

@@ -145,3 +145,29 @@ def test_planarpoint_polemodel_loads():
 def test_missing_model_lists_available():
     with pytest.raises(FileNotFoundError, match="Available models"):
         behavior.load_packaged_polemodel("nope.yaml")
+
+
+def test_polemodel_rt_batch_sampler_distribution(pm):
+    """sample_features_batch (bulk-RNG production path: two random calls
+    for the whole population instead of a per-agent key ladder) must
+    match the per-key sampler's distribution."""
+    import jax
+    import jax.numpy as jnp
+    from scipy import stats
+
+    rt = behavior.PoleModelRT.from_polemodel(pm)
+    v = 4.0
+    n = 4000
+    batch, good = rt.sample_features_batch(
+        jax.random.PRNGKey(5), jnp.full((n,), v))
+    batch = np.asarray(batch)
+    assert np.all(np.isfinite(batch))
+    assert float(jnp.mean(good.astype(jnp.float64))) > 0.98
+
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    perkey = np.asarray(jax.vmap(
+        lambda k: rt.sample_features(k, jnp.asarray(v)))(keys))
+    for col in range(batch.shape[1]):
+        d, p = stats.ks_2samp(batch[:, col], perkey[:, col])
+        assert p > 1e-4, (f"feature {col}: KS {d:.4f}, p={p:.2e} -- "
+                          f"batched sampler diverges from per-key sampler")
