@@ -499,7 +499,11 @@ class BalancingRiderParams(BicycleParams):
                     return ackermann(A, jnp.asarray(B),
                                      charpoly_from_pole_features(feats))
 
-                tab = np.array(jax.vmap(k_at)(jnp.asarray(vs)))  # writable copy
+                # build on the host CPU backend: this is a one-time
+                # construction sweep, and tracing/compiling it through a
+                # remote-TPU connection costs minutes for zero benefit
+                with jax.default_device(jax.devices("cpu")[0]):
+                    tab = np.array(jax.vmap(k_at)(jnp.asarray(vs)))
                 # the plant is uncontrollable at v = 0 exactly (the yaw
                 # row of A scales with v), so a grid point landing on it
                 # yields a non-finite K -- as does the reference's

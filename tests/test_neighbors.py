@@ -218,3 +218,19 @@ def test_full_fov_elision_matches_dense():
     # a real (partial) FOV population must keep the mask
     p_fov = as_population(InvPendulumBicycleParams.create(), n)
     assert not Engine.create(p_fov, MODELS["twod"]).full_fov
+
+
+def test_sorted_resident_metrics_match_gather_path():
+    """record_metrics=True composes with the sorted-resident path (the
+    per-step metrics are permutation-invariant aggregates)."""
+    n = 256
+    st, p = _population(n, 200.0, seed=9)
+    eng = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=16, backend="xla", rebuild_every=3))
+    _, m_ref = jax.jit(lambda s: eng.simulate(
+        s, 6, record=True, record_metrics=True))(st)
+    _, m_fast = jax.jit(lambda s: eng.simulate(
+        s, 6, record=False, record_metrics=True))(st)
+    # sums reduce in permuted agent order -> ULP-level differences
+    np.testing.assert_allclose(np.asarray(m_ref), np.asarray(m_fast),
+                               rtol=1e-12, atol=1e-12)
