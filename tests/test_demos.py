@@ -13,6 +13,8 @@ DEMOS = [
     ["demos/demo_parcours.py", "--t-end", "1.0"],
     ["demos/demo_curve.py", "--t-end", "1.0"],
     ["demos/demo_sumo.py", "--bikes", "2", "--steps", "800"],
+    ["demos/demo_mixed_traffic.py", "--riders", "300", "--cars", "3",
+     "--steps", "120"],
 ]
 
 
