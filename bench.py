@@ -9,7 +9,10 @@ table + Pallas tile kernel; the 50 m cutoff bounds dropped forces below
 under one jitted lax.scan on the available accelerator. The run is
 audited overflow-free: the neighbor-block capacity (kb) is checked
 against the true in-range block counts at t=0 and t=end, so no force
-contribution is silently truncated. Prints ONE JSON line.
+contribution is silently truncated.
+
+Prints TWO JSON lines: the flagship-model (balancingrider) metric first,
+then the headline metric LAST (the driver parses the final line).
 
 Baseline: the reference (chris-konrad/cyclistsocialforce) publishes no
 benchmark numbers (BASELINE.md); its implied real-time requirement is a

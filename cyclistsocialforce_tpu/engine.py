@@ -375,7 +375,8 @@ class NeighborConfig:
         self.skin = (float(skin) if skin is not None
                      else 2.0 * v_max * t_s * self.rebuild_every)
         # source-strip height for the in-kernel strip-level distance
-        # screen (0 = whole-tile screen); multiples of 8 dividing `block`
+        # screen (0 = whole-tile screen); multiples of 8 dividing
+        # `block`. Only meaningful with screen=True.
         self.sub = int(sub)
         # screen=False drops the runtime min-distance screen entirely
         # (each screen is a vector->scalar pipeline stall; with the

@@ -26,7 +26,7 @@ from flax import struct
 
 from cyclistsocialforce_tpu import engine as eng
 from cyclistsocialforce_tpu.engine import (_PER_AGENT_FIELDS, DEST_FORCES,
-                                           REP_FORCES, RoadElements)
+                                           REP_FORCES)
 from cyclistsocialforce_tpu.ops import forces as F
 from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState
 
