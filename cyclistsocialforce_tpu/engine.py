@@ -213,19 +213,26 @@ def dest_force_spline(params, state: AgentState):
         dspl_last = spl.fit_eval_parametric(pts_last, SPL_N_PNTS)
         dspl = jnp.where(is_last, dspl_last, dspl_nl)
 
-        # ---- spline force
+        # ---- spline force (row selection via one-hot contractions:
+        # per-agent dynamic gathers of tiny rows serialize on TPU)
         d2 = ((dspl[:, 0] - pos[0]) ** 2 + (dspl[:, 1] - pos[1]) ** 2)
         i_spl = jnp.where(is_last, jnp.argmin(d2), 1)
         ipred = i_spl + jnp.where(dest1[2] > 0, SPL_IPRED_LAST, SPL_IPRED)
         ip = jnp.minimum(ipred, SPL_N_PNTS - 1)
 
-        dx, dy = dspl[i_spl, 2], dspl[i_spl, 3]
-        d2x, d2y = dspl[i_spl, 4], dspl[i_spl, 5]
+        rows = jnp.arange(SPL_N_PNTS)
+        row_i = jnp.sum(jnp.where((rows == i_spl)[:, None], dspl, 0.0),
+                        axis=0)
+        row_p = jnp.sum(jnp.where((rows == ip)[:, None], dspl, 0.0),
+                        axis=0)
+
+        dx, dy = row_i[2], row_i[3]
+        d2x, d2y = row_i[4], row_i[5]
         R = jnp.sqrt(dx**2 + dy**2) ** 3 / jnp.abs(dx * d2y - dy * d2x)
         v_curve = jnp.maximum(SPL_V_MIN_STABLE,
                               jnp.sqrt(SPL_THETA_COMF * g_a * R))
         v_spl = jnp.minimum(v_curve, vd1)
-        seg = dspl[ip, :2] - dspl[i_spl, :2]
+        seg = row_p[:2] - row_i[:2]
         seg_len = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
         f_spl = v_spl * seg / jnp.where(seg_len > 0, seg_len, 1.0)
 

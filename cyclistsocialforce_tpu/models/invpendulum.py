@@ -25,9 +25,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from cyclistsocialforce_tpu.models import bicycle2d
+from cyclistsocialforce_tpu.ops.smallmat import expm_small, matvec_small
 from cyclistsocialforce_tpu.params import pair_hi, pair_lo
 from cyclistsocialforce_tpu.state import (DELTA, PSI, THETA, V, X, Y,
                                           AgentState)
@@ -85,8 +85,12 @@ def _step_yaw_one(params_b, K_x, K_u, v, x, psi_d, t_s):
     Bcl = K_u * B
     aug = jnp.zeros((6, 6), dtype=x.dtype)
     aug = aug.at[:5, :5].set(Acl * t_s).at[:5, 5].set(Bcl * t_s)
-    e = jsl.expm(aug)
-    return e[:5, :5] @ x + e[:5, 5] * psi_d
+    # unrolled Pade expm: jax.scipy.linalg.expm lowers to batched tiny
+    # matmuls + LU under vmap, which serialize on TPU (~26 ms/step at
+    # N = 8k); expm_small is pure [N]-wide VPU work (ops/smallmat.py),
+    # pinned to jsl.expm at ~1e-12 by tests/test_smallmat.py
+    e = expm_small(aug)
+    return matvec_small(e[:5, :5], x) + e[:5, 5] * psi_d
 
 
 def step(params, state: AgentState, fx, fy) -> AgentState:

@@ -22,45 +22,36 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["matmul_small", "matvec_small", "solve_small"]
+__all__ = ["matmul_small", "matvec_small", "solve_small", "expm_small"]
 
 
 def matmul_small(A, B):
-    """[n, n] @ [n, m] unrolled into static-index scalar ops (vmappable;
-    under vmap every product is one [N]-wide elementwise op)."""
-    n, m = A.shape[0], B.shape[1]
-    cols = []
-    for j in range(m):
-        rows = []
-        for i in range(n):
-            acc = A[i, 0] * B[0, j]
-            for k in range(1, n):
-                acc = acc + A[i, k] * B[k, j]
-            rows.append(acc)
-        cols.append(jnp.stack(rows))
-    return jnp.stack(cols, axis=1)
+    """[n, k] @ [k, m] as a broadcast-multiply + axis reduction.
+
+    This stays ELEMENTWISE (no dot_general): under vmap it becomes one
+    [N, n, k, m] multiply + one reduce -- pure VPU work with a tiny HLO
+    footprint (a fully scalar-unrolled form compiles to ~n*k*m HLO ops,
+    which explodes trace/compile time once nested in scans, e.g. the
+    Pade expm below)."""
+    return jnp.sum(A[:, :, None] * B[None, :, :], axis=1)
 
 
 def matvec_small(A, x):
-    """[n, n] @ [n] unrolled (vmappable)."""
-    n = A.shape[0]
-    rows = []
-    for i in range(n):
-        acc = A[i, 0] * x[0]
-        for k in range(1, n):
-            acc = acc + A[i, k] * x[k]
-        rows.append(acc)
-    return jnp.stack(rows)
+    """[n, k] @ [k] as broadcast-multiply + reduce (see matmul_small)."""
+    return jnp.sum(A * x[None, :], axis=1)
 
 
-def solve_small(A, b):
-    """Solve A x = b by unrolled Gaussian elimination with branchless
-    partial pivoting. A: [n, n]; b: [n] or [n, m]; returns x shaped like b.
+def solve_small(A, b, pivot: bool = True):
+    """Solve A x = b by unrolled Gaussian elimination. A: [n, n];
+    b: [n] or [n, m]; returns x shaped like b.
 
-    Pivot selection is an argmax + one-hot row swap (no dynamic gathers),
-    so the vmapped form is pure elementwise VPU work. Rounding differs
-    from LAPACK LU only through pivot-order ties; tests pin agreement to
-    ~1e-12 (f64) / ~1e-5 (f32) against jnp.linalg.solve.
+    With pivot=True (default), pivot selection is a branchless argmax +
+    one-hot row swap (no dynamic gathers) -- rounding differs from
+    LAPACK LU only through pivot-order ties; tests pin agreement to
+    ~1e-12 (f64) / ~1e-5 (f32) against jnp.linalg.solve. pivot=False
+    drops the swap machinery (~60% of the vmapped op count) for systems
+    known to eliminate stably in order (e.g. the spline moment systems,
+    whose degenerate inputs are handled by the caller's NaN fallback).
     """
     n = A.shape[0]
     vec = b.ndim == 1
@@ -69,15 +60,16 @@ def solve_small(A, b):
     rows = jnp.arange(n)
 
     for k in range(n):
-        # branchless partial pivot: pick the largest |M[i, k]|, i >= k
-        col = jnp.where(rows >= k, jnp.abs(M[:, k]), -1.0)
-        p = jnp.argmax(col)
-        oh_p = (rows == p)[:, None]
-        oh_k = (rows == k)[:, None]
-        row_p = jnp.sum(jnp.where(oh_p, M, 0.0), axis=0)
-        row_k = jnp.sum(jnp.where(oh_k, M, 0.0), axis=0)
-        M = jnp.where(oh_k, row_p[None, :],
-                      jnp.where(oh_p, row_k[None, :], M))
+        if pivot:
+            # branchless partial pivot: largest |M[i, k]|, i >= k
+            col = jnp.where(rows >= k, jnp.abs(M[:, k]), -1.0)
+            p = jnp.argmax(col)
+            oh_p = (rows == p)[:, None]
+            oh_k = (rows == k)[:, None]
+            row_p = jnp.sum(jnp.where(oh_p, M, 0.0), axis=0)
+            row_k = jnp.sum(jnp.where(oh_k, M, 0.0), axis=0)
+            M = jnp.where(oh_k, row_p[None, :],
+                          jnp.where(oh_p, row_k[None, :], M))
         # eliminate below the pivot (static row index k)
         factors = jnp.where(rows > k, M[:, k] / M[k, k], 0.0)
         M = M - factors[:, None] * M[k][None, :]
@@ -91,3 +83,42 @@ def solve_small(A, b):
         xs[i] = acc / M[i, i]
     x = jnp.stack(xs, axis=0)                      # [n, m]
     return x[:, 0] if vec else x
+
+
+# Pade-13 coefficients (the scipy/jax expm numerator/denominator split)
+_PADE13_B = (
+    64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
+    1187353796428800.0, 129060195264000.0, 10559470521600.0,
+    670442572800.0, 33522128640.0, 1323241920.0, 40840800.0,
+    960960.0, 16380.0, 182.0, 1.0)
+
+
+def expm_small(A, squarings: int = 12):
+    """Matrix exponential of a small [n, n] matrix, fully unrolled:
+    fixed `squarings` scaling steps + the Pade-13 approximant +
+    `solve_small` -- so the vmapped form is pure [N]-wide VPU work
+    instead of the batched tiny matmul/LU ladder `jax.scipy.linalg.expm`
+    lowers to (which serializes catastrophically on TPU: the inverted-
+    pendulum model's per-agent 6x6 ZOH expm cost ~26 ms/step at N = 8k).
+
+    With the default 12 squarings the scaled norm ||A||/4096 stays in the
+    Pade-13 high-accuracy regime for ||A|| up to ~2e3 -- far above the
+    ZOH matrices' range here (||A t_s|| < ~50); agreement with
+    jax.scipy.linalg.expm is pinned by tests to ~1e-12 (f64).
+    """
+    n = A.shape[0]
+    b = _PADE13_B
+    eye = jnp.eye(n, dtype=A.dtype)
+    As = A * (0.5 ** squarings)
+    A2 = matmul_small(As, As)
+    A4 = matmul_small(A2, A2)
+    A6 = matmul_small(A2, A4)
+    U = matmul_small(
+        As, matmul_small(A6, b[13] * A6 + b[11] * A4 + b[9] * A2)
+        + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * eye)
+    V = (matmul_small(A6, b[12] * A6 + b[10] * A4 + b[8] * A2)
+         + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * eye)
+    E = solve_small(V - U, V + U)
+    for _ in range(squarings):
+        E = matmul_small(E, E)
+    return E

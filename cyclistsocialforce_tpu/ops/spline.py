@@ -39,26 +39,40 @@ def notaknot_moments(t, y):
     """
     m = t.shape[0]
     h = jnp.diff(t)                      # [m-1]
-    A = jnp.zeros((m, m), dtype=t.dtype)
-    rhs = jnp.zeros_like(y)
+    zero = jnp.zeros((), dtype=t.dtype)
 
-    # not-a-knot at t[1]: S'''_0(t1-) == S'''_1(t1+)
-    A = A.at[0, 0].set(1.0 / h[0])
-    A = A.at[0, 1].set(-(1.0 / h[0] + 1.0 / h[1]))
-    A = A.at[0, 2].set(1.0 / h[1])
-    # C2 continuity at interior sites
-    for i in range(1, m - 1):
-        A = A.at[i, i - 1].set(h[i - 1] / 6.0)
-        A = A.at[i, i].set((h[i - 1] + h[i]) / 3.0)
-        A = A.at[i, i + 1].set(h[i] / 6.0)
-        rhs = rhs.at[i].set((y[i + 1] - y[i]) / h[i]
-                            - (y[i] - y[i - 1]) / h[i - 1])
-    # not-a-knot at t[m-2]
-    A = A.at[m - 1, m - 3].set(1.0 / h[m - 3])
-    A = A.at[m - 1, m - 2].set(-(1.0 / h[m - 3] + 1.0 / h[m - 2]))
-    A = A.at[m - 1, m - 1].set(1.0 / h[m - 2])
+    # assemble A/rhs as stacked expressions: a ladder of .at[...].set
+    # updates materializes (and copies) the full [N, m, m] batch once per
+    # entry under vmap (~20 copies per fit, ~3 ms/step at N = 1e5)
+    def row(entries):                     # {col: value} -> [m]
+        return jnp.stack([entries.get(j, zero) for j in range(m)])
 
-    return jnp.linalg.solve(A, rhs)
+    rows = [row({0: 1.0 / h[0],           # not-a-knot at t[1]
+                 1: -(1.0 / h[0] + 1.0 / h[1]),
+                 2: 1.0 / h[1]})]
+    for i in range(1, m - 1):             # C2 continuity at interior sites
+        rows.append(row({i - 1: h[i - 1] / 6.0,
+                         i: (h[i - 1] + h[i]) / 3.0,
+                         i + 1: h[i] / 6.0}))
+    rows.append(row({m - 3: 1.0 / h[m - 3],   # not-a-knot at t[m-2]
+                     m - 2: -(1.0 / h[m - 3] + 1.0 / h[m - 2]),
+                     m - 1: 1.0 / h[m - 2]}))
+    A = jnp.stack(rows)
+
+    zrow = jnp.zeros((y.shape[1],), dtype=y.dtype)
+    rhs = jnp.stack(
+        [zrow] + [(y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1]
+                  for i in range(1, m - 1)] + [zrow])
+
+    # unrolled solve: batched tiny jnp.linalg.solve serializes on TPU
+    # (~165 ms/step at N=8k for the spline destination force; see
+    # ops/smallmat.py)
+    from cyclistsocialforce_tpu.ops.smallmat import solve_small
+
+    # no-pivot: the moment system eliminates stably in order for valid
+    # chord parameters; degenerate (duplicate-point) inputs yield
+    # NaN/inf either way and take the caller's straight-line fallback
+    return solve_small(A, rhs, pivot=False)
 
 
 def spline_eval(t, y, M, q):
@@ -68,14 +82,25 @@ def spline_eval(t, y, M, q):
     Returns (S, dS, d2S), each [Q, d].
     """
     m = t.shape[0]
+    d = y.shape[1]
     h = jnp.diff(t)
-    k = jnp.clip(jnp.searchsorted(t, q, side="right") - 1, 0, m - 2)
+    # interval index via comparisons + ONE fused one-hot contraction:
+    # dynamic gathers of tiny rows (h[k], M[k], ...) serialize under vmap
+    # on TPU, and seven separate one-hot takes each materialize a
+    # [Q, m, .] product -- one [m-1, 3+4d] side table cuts the traffic
+    k = jnp.clip(jnp.sum(q[:, None] >= t[None, :], axis=1) - 1, 0, m - 2)
+    oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
 
-    hk = h[k][:, None]
-    t1 = (t[k + 1] - q)[:, None]         # distance to right site
-    t2 = (q - t[k])[:, None]
-    Mk, Mk1 = M[k], M[k + 1]
-    yk, yk1 = y[k], y[k + 1]
+    table = jnp.concatenate(
+        [h[:, None], t[1:, None], t[:-1, None],
+         M[:-1], M[1:], y[:-1], y[1:]], axis=1)      # [m-1, 3 + 4d]
+    sel = jnp.sum(oh[:, :, None] * table[None, :, :], axis=1)  # [Q, 3+4d]
+
+    hk = sel[:, 0:1]
+    t1 = sel[:, 1:2] - q[:, None]        # distance to right site
+    t2 = q[:, None] - sel[:, 2:3]
+    Mk, Mk1 = sel[:, 3:3 + d], sel[:, 3 + d:3 + 2 * d]
+    yk, yk1 = sel[:, 3 + 2 * d:3 + 3 * d], sel[:, 3 + 3 * d:3 + 4 * d]
 
     a = yk / hk - Mk * hk / 6.0
     b = yk1 / hk - Mk1 * hk / 6.0

@@ -50,3 +50,48 @@ def test_solve_vmapped_batch():
     x = jax.vmap(solve_small)(A, b)
     x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+def test_expm_matches_scipy_linalg():
+    """expm_small vs jax.scipy.linalg.expm over the norm range the
+    inverted-pendulum ZOH matrices occupy (and beyond)."""
+    import jax.scipy.linalg as jsl
+
+    from cyclistsocialforce_tpu.ops.smallmat import expm_small
+
+    rng = np.random.default_rng(3)
+    for scale in (0.01, 0.5, 5.0, 50.0):
+        A = jnp.asarray(rng.normal(size=(6, 6)) * scale)
+        e_ref = np.asarray(jsl.expm(A))
+        e = np.asarray(expm_small(A))
+        np.testing.assert_allclose(
+            e, e_ref, rtol=1e-10,
+            atol=1e-10 * max(1.0, np.abs(e_ref).max()))
+
+
+def test_expm_vmapped_zoh_matrices():
+    """The production shape: vmapped 6x6 ZOH matrices built from the
+    inverted-pendulum closed loop across the speed range."""
+    import jax.scipy.linalg as jsl
+
+    from cyclistsocialforce_tpu.models import invpendulum as IP
+    from cyclistsocialforce_tpu.ops.smallmat import expm_small
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    p = InvPendulumBicycleParams.create()
+    vs = jnp.asarray(np.linspace(0.5, 10.0, 40))
+    K_x, K_u = p.fullstate_feedback_gains(vs)
+
+    def aug_one(v, kx, ku):
+        pb = {f: jnp.asarray(getattr(p, f)) for f in
+              ("l", "l_2", "g", "tau_1_squared", "c_steer",
+               "i_steer_vertvert")}
+        A, B = IP.openloop_matrices(pb, v)
+        Acl = A - B[:, None] * kx[None, :]
+        aug = jnp.zeros((6, 6), dtype=v.dtype)
+        return aug.at[:5, :5].set(Acl * 0.01).at[:5, 5].set(ku * B * 0.01)
+
+    augs = jax.vmap(aug_one)(vs, K_x, K_u)
+    e_ref = np.asarray(jax.vmap(jsl.expm)(augs))
+    e = np.asarray(jax.vmap(expm_small)(augs))
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-11)
