@@ -234,3 +234,25 @@ def test_sorted_resident_metrics_match_gather_path():
     # sums reduce in permuted agent order -> ULP-level differences
     np.testing.assert_allclose(np.asarray(m_ref), np.asarray(m_fast),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_bench_config_is_overflow_free():
+    """CI guard for the driver bench artifact: the shipped bench.py
+    neighbor configuration (block/kb/cutoff/rebuild skin) must cover the
+    true in-range block count of the bench population with margin --
+    round 1 shipped a silently-truncating config (kb=8 vs true max 47)."""
+    import bench as B
+    from __graft_entry__ import _build
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    _, state = _build(100_000, dtype=np.float32, density=0.02,
+                      hist_len=8, pad_to_block=B.BLOCK)
+    cfg = NeighborConfig(cutoff=B.CUTOFF, block=B.BLOCK, kb=B.KB,
+                         rebuild_every=B.REBUILD, backend="xla")
+    x = jnp.asarray(np.asarray(state.s[:, 0]))
+    y = jnp.asarray(np.asarray(state.s[:, 1]))
+    cache = NB.build(x, y, cfg.cutoff + cfg.skin, cfg.block, cfg.kb)
+    counts = np.asarray(cache[2]).sum(1)
+    assert not np.asarray(cache[3]).any(), "bench config overflows at t=0"
+    assert counts.max() + 2 <= B.KB, (
+        f"kb margin too thin: max in-range {counts.max()} vs kb={B.KB}")
