@@ -201,38 +201,46 @@ def dest_force_spline(params, state: AgentState):
 
         # last: (1 s back, one step back, current, destination)
         jb = jnp.maximum(0, i - lookback) % hist
-        pts_last = jnp.stack(
-            [hist_take(jb), prev, pos, dest1[:2]], axis=0)      # [4, 2]
+        pts_last = jnp.concatenate(
+            [hist_take(jb)[None], prev[None], pos[None],
+             dest1[None, :2], jnp.zeros((2, 2), dq.dtype)],
+            axis=0)                                             # [6, 2]
 
-        dspl_nl = jax.lax.switch(
-            jnp.clip(fwd - 2, 0, 2),
-            [lambda p6: spl.fit_eval_parametric(p6[:4], SPL_N_PNTS),
-             lambda p6: spl.fit_eval_parametric(p6[:5], SPL_N_PNTS),
-             lambda p6: spl.fit_eval_parametric(p6[:6], SPL_N_PNTS)],
-            pts_nl)
-        dspl_last = spl.fit_eval_parametric(pts_last, SPL_N_PNTS)
-        dspl = jnp.where(is_last, dspl_last, dspl_nl)
+        # ONE masked fixed-size fit instead of a lax.switch over three
+        # m-sized fits plus a fourth for the last branch (vmap evaluates
+        # every switch branch for every agent -- ~3.5x this arithmetic)
+        pts6 = jnp.where(is_last, pts_last, pts_nl)
+        m_valid = jnp.where(is_last, 4, 2 + fwd)
+        t_sites, moments = spl.fit_masked(pts6, m_valid)
 
-        # ---- spline force (row selection via one-hot contractions:
-        # per-agent dynamic gathers of tiny rows serialize on TPU)
-        d2 = ((dspl[:, 0] - pos[0]) ** 2 + (dspl[:, 1] - pos[1]) ** 2)
+        # ---- spline force. Positions-only eval at the SPL_N_PNTS
+        # uniform parameters feeds the nearest-sample search; the
+        # derivatives are then evaluated at just the two parameters the
+        # force needs (the reference evaluates all 20 with two
+        # derivatives each, vehicle.py:1509-1510 -- same values, ~1/3 the
+        # arithmetic).
+        q20 = jnp.linspace(0.0, 1.0, SPL_N_PNTS, dtype=pts6.dtype)
+        S20 = spl.eval_positions(t_sites, pts6, moments, q20)   # [20, 2]
+        d2 = ((S20[:, 0] - pos[0]) ** 2 + (S20[:, 1] - pos[1]) ** 2)
         i_spl = jnp.where(is_last, jnp.argmin(d2), 1)
         ipred = i_spl + jnp.where(dest1[2] > 0, SPL_IPRED_LAST, SPL_IPRED)
         ip = jnp.minimum(ipred, SPL_N_PNTS - 1)
 
+        # exact grid parameters via one-hot takes (bit-identical to
+        # selecting rows of the dense evaluation)
         rows = jnp.arange(SPL_N_PNTS)
-        row_i = jnp.sum(jnp.where((rows == i_spl)[:, None], dspl, 0.0),
-                        axis=0)
-        row_p = jnp.sum(jnp.where((rows == ip)[:, None], dspl, 0.0),
-                        axis=0)
+        q_i = jnp.sum(jnp.where(rows == i_spl, q20, 0.0))
+        q_p = jnp.sum(jnp.where(rows == ip, q20, 0.0))
+        S2, dS2, d2S2 = spl.spline_eval(
+            t_sites, pts6, moments, jnp.stack([q_i, q_p]))
 
-        dx, dy = row_i[2], row_i[3]
-        d2x, d2y = row_i[4], row_i[5]
+        dx, dy = dS2[0, 0], dS2[0, 1]
+        d2x, d2y = d2S2[0, 0], d2S2[0, 1]
         R = jnp.sqrt(dx**2 + dy**2) ** 3 / jnp.abs(dx * d2y - dy * d2x)
         v_curve = jnp.maximum(SPL_V_MIN_STABLE,
                               jnp.sqrt(SPL_THETA_COMF * g_a * R))
         v_spl = jnp.minimum(v_curve, vd1)
-        seg = row_p[:2] - row_i[:2]
+        seg = S2[1] - S2[0]
         seg_len = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
         f_spl = v_spl * seg / jnp.where(seg_len > 0, seg_len, 1.0)
 

@@ -40,7 +40,11 @@ def state_slice(state: AgentState, lo: int, hi: int) -> AgentState:
 
 def state_merge(state: AgentState, lo: int, hi: int,
                 sub: AgentState) -> AgentState:
-    upd = {f: getattr(state, f).at[lo:hi].set(getattr(sub, f))
+    # f64 group params can promote sub-state floats (e.g. dest updates)
+    # past the global state dtype: cast at the scatter boundary (implicit
+    # promotion in scatter is a FutureWarning on its way to a hard error)
+    upd = {f: getattr(state, f).at[lo:hi].set(
+               getattr(sub, f).astype(getattr(state, f).dtype))
            for f in _SLICE_FIELDS}
     return state.replace(**upd, key=sub.key)
 
@@ -127,8 +131,11 @@ class MixedEngine(struct.PyTreeNode):
         for g in self.groups:
             sub = state_slice(state, g.lo, g.hi)
             gfx, gfy, sub = g.dest_force(g.params, sub)
-            fx = fx.at[g.lo:g.hi].set(gfx)
-            fy = fy.at[g.lo:g.hi].set(gfy)
+            # group params may be f64 while the state is f32: cast at the
+            # scatter boundary (implicit promotion is a FutureWarning on
+            # its way to a hard error)
+            fx = fx.at[g.lo:g.hi].set(gfx.astype(fx.dtype))
+            fy = fy.at[g.lo:g.hi].set(gfy.astype(fy.dtype))
             state = state_merge(state, g.lo, g.hi, sub)
         return fx, fy, state
 
@@ -154,8 +161,10 @@ class MixedEngine(struct.PyTreeNode):
                     continue
                 gsrc = tuple(a[g.lo:g.hi] for a in src)
                 px, py = tile(g.params, gsrc, recv)
-                fx_pair = fx_pair.at[g.lo:g.hi, :].set(px)
-                fy_pair = fy_pair.at[g.lo:g.hi, :].set(py)
+                fx_pair = fx_pair.at[g.lo:g.hi, :].set(
+                    px.astype(fx_pair.dtype))
+                fy_pair = fy_pair.at[g.lo:g.hi, :].set(
+                    py.astype(fy_pair.dtype))
 
         hfov = jnp.concatenate([
             jnp.broadcast_to(jnp.asarray(g.params.hfov),

@@ -174,6 +174,10 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         tab, v0, dv = params.br_gains_lut
         tab = jnp.asarray(tab, dtype=dtype)
         t = (v_mid - jnp.asarray(v0, dtype)) / jnp.asarray(dv, dtype)
+        # clamp the continuous coordinate (not just the index) so speeds
+        # outside the grid use the boundary gains instead of silently
+        # extrapolating K(v)
+        t = jnp.clip(t, 0.0, tab.shape[0] - 1.0)
         i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, tab.shape[0] - 2)
         w = (t - i0.astype(dtype))[:, None]
         K_new = tab[i0] * (1.0 - w) + tab[i0 + 1] * w

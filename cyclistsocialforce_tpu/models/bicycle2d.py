@@ -68,8 +68,13 @@ def move(params, s, a, odelta):
     psi = limit_angle(s[:, PSI] + t_s * v * jnp.tan(delta) / params.l)
     y = s[:, Y] + t_s * v * jnp.sin(psi)
     x = s[:, X] + t_s * v * jnp.cos(psi)
-    return (s.at[:, X].set(x).at[:, Y].set(y).at[:, PSI].set(psi)
-            .at[:, V].set(v).at[:, DELTA].set(delta))
+    # strong-typed f64 params (e.g. MixedEngine group params) promote the
+    # intermediates; cast back at the state-write boundary (implicit
+    # scatter promotion is a FutureWarning on its way to a hard error)
+    dt = s.dtype
+    return (s.at[:, X].set(x.astype(dt)).at[:, Y].set(y.astype(dt))
+            .at[:, PSI].set(psi.astype(dt)).at[:, V].set(v.astype(dt))
+            .at[:, DELTA].set(delta.astype(dt)))
 
 
 def step(params, state: AgentState, fx, fy) -> AgentState:

@@ -122,16 +122,35 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     y_pos = s[:, Y] + t_s * v_new * jnp.sin(s[:, PSI])
 
     # step_yaw (vehicle.py:1810-1848) at the new speed
-    K_x, K_u = params.fullstate_feedback_gains(v_new)
     psi_d = jnp.arctan2(fy, fx)
+    if getattr(params, "ip_zoh_lut", None) is not None:
+        # precomputed ZOH propagator table (params.create zoh_lut=G):
+        # Phi(v), Gamma(v) interpolated on the uniform speed grid instead
+        # of a per-agent 6x6 expm per step (the expm is ~4000 vmapped VPU
+        # ops; see params._build_zoh_lut for the error-bound story)
+        tab, v0, dv = params.ip_zoh_lut
+        tab = jnp.asarray(tab, dtype=s.dtype)
+        t = (v_new - jnp.asarray(v0, s.dtype)) / jnp.asarray(dv, s.dtype)
+        t = jnp.clip(t, 0.0, tab.shape[0] - 1.0)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, tab.shape[0] - 2)
+        w = (t - i0.astype(s.dtype))[:, None]
+        E = tab[i0] * (1.0 - w) + tab[i0 + 1] * w          # [N, 30]
+        Phi = E[:, :25].reshape(n, 5, 5)
+        Gam = E[:, 25:]
+        x5 = state.dyn_x[:, :5]
+        dyn_riding = (jnp.sum(Phi * x5[:, None, :], axis=2)
+                      + Gam * psi_d[:, None])
+    else:
+        K_x, K_u = params.fullstate_feedback_gains(v_new)
 
-    def b(field):
-        return jnp.broadcast_to(jnp.asarray(getattr(params, field)), (n,))
+        def b(field):
+            return jnp.broadcast_to(jnp.asarray(getattr(params, field)),
+                                    (n,))
 
-    params_b = {f: b(f) for f in ("l", "l_2", "g", "tau_1_squared",
-                                  "c_steer", "i_steer_vertvert")}
-    dyn_riding = jax.vmap(_step_yaw_one)(
-        params_b, K_x, K_u, v_new, state.dyn_x[:, :5], psi_d, t_s)
+        params_b = {f: b(f) for f in ("l", "l_2", "g", "tau_1_squared",
+                                      "c_steer", "i_steer_vertvert")}
+        dyn_riding = jax.vmap(_step_yaw_one)(
+            params_b, K_x, K_u, v_new, state.dyn_x[:, :5], psi_d, t_s)
 
     s_riding = (s.at[:, X].set(x_pos).at[:, Y].set(y_pos)
                 .at[:, V].set(v_new)

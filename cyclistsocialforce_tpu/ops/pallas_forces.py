@@ -12,9 +12,13 @@ active mask (ops.forces.untracked_foes_tile semantics), and accumulates
 the source-sum into the [2, T] per-receiver output block, which Pallas
 keeps resident in VMEM across the inner KB grid dimension.
 
-Packing layout (built by engine helpers):
+Packing layout (built by Engine.pack_pair_fields /
+MixedEngine.pack_pair_fields_mixed):
   src_pack [N, 16]: x, y, cos psi, sin psi, f_0, e_0, e_1, sigma_0..3,
-                    cos(hfov/2), active (13 used, padded to 16 lanes)
+                    cos(hfov/2), emit, fam (14 used, padded to 16 lanes);
+                    column 12 (_SACT) is the folded EMIT flag
+                    (active AND f_0 > 0), column 13 (_FAM) the force
+                    family selector (mixed mode only, see below)
   recv_pack [8, N]: x, y, cos psi, sin psi, active (5 used, padded)
 Both are in CELL-SORTED order; outputs are [2, N] sorted forces.
 """
@@ -34,8 +38,9 @@ RECV_ROWS = 8
 # src_pack column layout. In MIXED mode (heterogeneous force families,
 # mixed.py) column _FAM selects the source's field per row: 0 = twod
 # (cols 4-10 = f_0, e_0, e_1, sigma_0..3), 1 = legacy (cols 4-7 reused as
-# amp = p_0/p_decay, e, 1/sqrt(1-e^2), 1/p_decay; cols 8-10 MUST be 0 so
-# the shared `sigma > 0` emit mask stays true for legacy rows).
+# amp = p_0/p_decay, e, 1/sqrt(1-e^2), 1/p_decay; cols 8-10 are unused on
+# legacy rows -- _tile_forces overrides vdecay0/1 and e there so the
+# shared sigma/emit mask chain stays well-defined whatever they hold).
 _SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT, \
     _FAM = range(14)
 

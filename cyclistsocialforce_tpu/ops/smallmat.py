@@ -93,23 +93,37 @@ _PADE13_B = (
     960960.0, 16380.0, 182.0, 1.0)
 
 
-def expm_small(A, squarings: int = 12):
-    """Matrix exponential of a small [n, n] matrix, fully unrolled:
-    fixed `squarings` scaling steps + the Pade-13 approximant +
-    `solve_small` -- so the vmapped form is pure [N]-wide VPU work
-    instead of the batched tiny matmul/LU ladder `jax.scipy.linalg.expm`
-    lowers to (which serializes catastrophically on TPU: the inverted-
-    pendulum model's per-agent 6x6 ZOH expm cost ~26 ms/step at N = 8k).
+# Pade-13 accuracy threshold theta_13 (Higham 2005, double precision);
+# scaling targets ||A|| / 2^s <= theta so the approximant is in its
+# high-accuracy regime with the FEWEST squarings (each squaring doubles
+# the accumulated rounding error -- the dominant error term in float32).
+_THETA13 = 5.371920351148152
 
-    With the default 12 squarings the scaled norm ||A||/4096 stays in the
-    Pade-13 high-accuracy regime for ||A|| up to ~2e3 -- far above the
-    ZOH matrices' range here (||A t_s|| < ~50); agreement with
-    jax.scipy.linalg.expm is pinned by tests to ~1e-12 (f64).
+
+def expm_small(A, max_squarings: int = 12):
+    """Matrix exponential of a small [n, n] matrix, fully unrolled:
+    norm-adaptive scaling + the Pade-13 approximant + `solve_small` -- so
+    the vmapped form is pure [N]-wide VPU work instead of the batched tiny
+    matmul/LU ladder `jax.scipy.linalg.expm` lowers to (which serializes
+    catastrophically on TPU: the inverted-pendulum model's per-agent 6x6
+    ZOH expm cost ~26 ms/step at N = 8k).
+
+    The squaring count is chosen per matrix from its 1-norm,
+    s = clip(ceil(log2(||A||_1 / theta_13)), 0, max_squarings), evaluated
+    branchlessly (the unrolled loop always runs `max_squarings` masked
+    squarings, so the op count is static) -- a fixed s=12 amplified
+    float32 rounding ~2000x for the small-norm ZOH matrices of the
+    production path (||A t_s|| ~ 0.05-0.5 -> s = 0 suffices). Agreement
+    with jax.scipy.linalg.expm is pinned by tests to ~1e-12 (f64) and
+    ~2e-6 relative (f32, the production TPU dtype).
     """
     n = A.shape[0]
     b = _PADE13_B
     eye = jnp.eye(n, dtype=A.dtype)
-    As = A * (0.5 ** squarings)
+    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    # norm <= theta -> log2 <= 0 -> s = 0; norm = 0 -> -inf -> s = 0
+    s = jnp.clip(jnp.ceil(jnp.log2(norm1 / _THETA13)), 0, max_squarings)
+    As = A * (0.5 ** s)
     A2 = matmul_small(As, As)
     A4 = matmul_small(A2, A2)
     A6 = matmul_small(A2, A4)
@@ -119,6 +133,6 @@ def expm_small(A, squarings: int = 12):
     V = (matmul_small(A6, b[12] * A6 + b[10] * A4 + b[8] * A2)
          + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * eye)
     E = solve_small(V - U, V + U)
-    for _ in range(squarings):
-        E = matmul_small(E, E)
+    for i in range(max_squarings):
+        E = jnp.where(i < s, matmul_small(E, E), E)
     return E

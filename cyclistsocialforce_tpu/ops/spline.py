@@ -111,6 +111,97 @@ def spline_eval(t, y, M, q):
     return S, dS, d2S
 
 
+def fit_masked(pts6, m):
+    """Chord-parameterized not-a-knot fit over a FIXED-size [6, 2] point
+    array with a RUNTIME valid count m in {4, 5, 6} (rows >= m ignored).
+
+    The destination-force spline needs 4, 5 or 6 support points depending
+    on queue state (reference vehicle.py:1443-1492). Under vmap a
+    lax.switch over three m-sized fits evaluates ALL branches per agent
+    (plus a fourth fit for the last-destination branch) -- ~3.5x the
+    arithmetic of this single masked 6x6 system, and the dominant cost of
+    the twod/invpendulum models at N = 1e5. Masking layout:
+
+      * sites: u[i] for i < m (padded sites continue increasing past 1 so
+        the interval search never selects them);
+      * matrix rows: 0 = not-a-knot at t[1] (always; m >= 4),
+        i in 1..4 = C2-continuity if i <= m-2, the second not-a-knot row
+        if i == m-1, identity (M_i = 0) if i >= m; row 5 likewise;
+      * the identity tail keeps the no-pivot elimination exact: those
+        rows have a unit pivot and zeros below/left.
+
+    Returns (t [6], M [6, 2]) for `spline_eval`. Padded point rows must be
+    FINITE (any value); degenerate (duplicate) valid points yield
+    non-finite results exactly like the per-size fits -- the caller's
+    straight-line fallback catches them.
+    """
+    dtype = pts6.dtype
+    idx = jnp.arange(6)
+    seg = jnp.sqrt(jnp.sum(jnp.diff(pts6, axis=0) ** 2, axis=1))   # [5]
+    seg = jnp.where(idx[:5] < m - 1, seg, 0.0)
+    cum = jnp.cumsum(seg)
+    total = cum[-1]                     # = chord length of the valid run
+    u = jnp.concatenate([jnp.zeros((1,), dtype), cum]) / total
+    t = jnp.where(idx < m, u, (idx - m + 2).astype(dtype))
+    h = jnp.diff(t)                                                # [5]
+
+    inv_h = 1.0 / h
+    zero6 = jnp.zeros((6,), dtype)
+
+    def e(i, val):
+        return jnp.where(idx == i, val, 0.0)
+
+    # row 0: not-a-knot at t[1] (m >= 4 always)
+    rows = [e(0, inv_h[0]) + e(1, -(inv_h[0] + inv_h[1])) + e(2, inv_h[1])]
+    for i in range(1, 6):
+        interior = (e(i - 1, h[i - 1] / 6.0)
+                    + e(i, (h[i - 1] + h[i % 5]) / 3.0)
+                    + e(i + 1, h[i % 5] / 6.0)) if i < 5 else zero6
+        nak = (e(i - 2, inv_h[i - 2])
+               + e(i - 1, -(inv_h[i - 2] + inv_h[i - 1]))
+               + e(i, inv_h[i - 1]))
+        ident = e(i, 1.0)
+        row = jnp.where(i <= m - 2, interior,
+                        jnp.where(i == m - 1, nak, ident))
+        rows.append(row)
+    A = jnp.stack(rows)                                            # [6, 6]
+
+    dd = ((pts6[2:] - pts6[1:-1]) / h[1:, None]
+          - (pts6[1:-1] - pts6[:-2]) / h[:-1, None])               # [4, 2]
+    interior_mask = (idx[1:5] <= m - 2)[:, None]
+    rhs = jnp.concatenate([
+        jnp.zeros((1, 2), dtype),
+        jnp.where(interior_mask, dd, 0.0),
+        jnp.zeros((1, 2), dtype)])                                 # [6, 2]
+
+    from cyclistsocialforce_tpu.ops.smallmat import solve_small
+
+    M = solve_small(A, rhs, pivot=False)
+    return t, M
+
+
+def eval_positions(t, y, M, q):
+    """Positions S [Q, d] only (no derivatives) -- the cheap pass that
+    feeds the nearest-sample search of the last-destination branch."""
+    m = t.shape[0]
+    d = y.shape[1]
+    h = jnp.diff(t)
+    k = jnp.clip(jnp.sum(q[:, None] >= t[None, :], axis=1) - 1, 0, m - 2)
+    oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
+    table = jnp.concatenate(
+        [h[:, None], t[1:, None], t[:-1, None],
+         M[:-1], M[1:], y[:-1], y[1:]], axis=1)        # [m-1, 3 + 4d]
+    sel = jnp.sum(oh[:, :, None] * table[None, :, :], axis=1)
+    hk = sel[:, 0:1]
+    t1 = sel[:, 1:2] - q[:, None]
+    t2 = q[:, None] - sel[:, 2:3]
+    Mk, Mk1 = sel[:, 3:3 + d], sel[:, 3 + d:3 + 2 * d]
+    yk, yk1 = sel[:, 3 + 2 * d:3 + 3 * d], sel[:, 3 + 3 * d:3 + 4 * d]
+    a = yk / hk - Mk * hk / 6.0
+    b = yk1 / hk - Mk1 * hk / 6.0
+    return (Mk * t1**3 + Mk1 * t2**3) / (6.0 * hk) + a * t1 + b * t2
+
+
 def fit_eval_parametric(pts, n_eval: int = 20):
     """splprep(s=0)-equivalent: fit the chord-parameterized interpolating
     spline through pts [m, 2] and evaluate it with two derivatives at

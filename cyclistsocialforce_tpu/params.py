@@ -267,9 +267,19 @@ class InvPendulumBicycleParams(BicycleParams):
     v_max_walk: Any = 1.5
     delta_max_walk: Any = 0.174
     tau_1_squared: Any = (3.28 + 87.0 * 1.0**2) / (87.0 * 9.81 * 1.0)
+    # Optional precomputed ZOH propagator lookup table:
+    # (table [G, 30], v_lo, dv) -- rows are the first five rows of
+    # expm([[Acl(v) t_s, Bcl(v) t_s], [0, 0]]) (25 Phi entries + 5 Gamma
+    # entries) sampled on a uniform speed grid at build time and linearly
+    # interpolated per step, replacing the per-agent 6x6 expm in the
+    # inverted-pendulum hot loop (models/invpendulum.py; mirrors
+    # BalancingRiderParams.br_gains_lut). Exact path stays the default.
+    ip_zoh_lut: Any = None
+    POPULATION_SHARED = ("ip_zoh_lut",)
 
     @classmethod
-    def create(cls, calib_mode: bool = False, verbose: bool = True, **kw):
+    def create(cls, calib_mode: bool = False, verbose: bool = True,
+               zoh_lut: int = 0, **kw):
         h = _chk_nonneg("h", kw.pop("h", cls.h))
         m = _chk_nonneg("m", kw.pop("m", cls.m))
         ibl = _chk_nonneg("i_bike_longlong",
@@ -294,12 +304,76 @@ class InvPendulumBicycleParams(BicycleParams):
         kw.setdefault("a_max", cls.a_max)
         kw.setdefault("a_desired_default", cls.a_desired_default)
         tau_1_squared = (ibl + m * h**2) / (m * np.asarray(g) * h)
-        return super().create(
+        p = super().create(
             calib_mode=calib_mode, verbose=verbose, h=h, m=m,
             i_bike_longlong=ibl, i_steer_vertvert=isv, c_steer=c_steer,
             k_d0_r2=k_d0_r2, k_d1_r2=k_d1_r2, k_p_r1=k_p_r1, k_i0_r1=k_i0_r1,
             v_max_walk=v_max_walk, delta_max_walk=delta_max_walk,
             tau_1_squared=tau_1_squared, **kw)
+        if zoh_lut:
+            p = p.replace(ip_zoh_lut=cls._build_zoh_lut(p, int(zoh_lut)))
+        return p
+
+    @staticmethod
+    def _build_zoh_lut(p, g: int):
+        """Sample the closed-loop ZOH propagator on a uniform speed grid.
+
+        The discretized riding dynamics (models/invpendulum._step_yaw_one,
+        reference vehicle.py:1810-1848) are a pure, smooth function of the
+        speed alone: Phi(v), Gamma(v) = rows [:5] of
+        expm([[A(v) - B K_x(v), K_u(v) B] t_s, [0, 0]]). A one-time
+        construction sweep (host CPU backend -- tracing through the remote
+        TPU tunnel costs minutes for nothing) replaces the per-agent 6x6
+        expm per step; linear interpolation error is pinned by
+        tests/test_gains_lut.py::test_invpendulum_zoh_lut_error_bound.
+
+        Rows near the v = 0 controllability singularity (the gain
+        polynomial diverges as 1/v^3) can be non-finite; those speeds are
+        walking-branch territory (the riding dynamics are never consumed
+        below ~v_max_walk), so such rows are repaired by nearest-finite
+        interpolation exactly like the BalancingRider gains LUT.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from cyclistsocialforce_tpu.models import invpendulum as IP
+        from cyclistsocialforce_tpu.ops.smallmat import expm_small
+
+        v_lo = float(pair_lo(p.v_max_riding))
+        v_hi = float(pair_hi(p.v_max_riding))
+        vs = np.linspace(v_lo, v_hi, g)
+        t_s = float(np.asarray(p.t_s))
+        pb = {f: jnp.asarray(float(np.asarray(getattr(p, f))))
+              for f in ("l", "l_2", "g", "tau_1_squared", "c_steer",
+                        "i_steer_vertvert")}
+
+        def e_at(v):
+            K_x, K_u = p.fullstate_feedback_gains(v)
+            A, B = IP.openloop_matrices(pb, v)
+            Acl = A - B[:, None] * K_x[None, :]
+            aug = jnp.zeros((6, 6), dtype=A.dtype)
+            aug = (aug.at[:5, :5].set(Acl * t_s)
+                   .at[:5, 5].set(K_u * B * t_s))
+            E = expm_small(aug)
+            return jnp.concatenate(
+                [E[:5, :5].reshape(25), E[:5, 5]])
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            tab = np.array(jax.vmap(e_at)(jnp.asarray(vs)))
+        bad = ~np.isfinite(tab).all(axis=1)
+        if bad.any():
+            good = np.where(~bad)[0]
+            for j in np.where(bad)[0]:
+                lo = good[good < j]
+                hi = good[good > j]
+                if len(lo) and len(hi):
+                    a, b = lo[-1], hi[0]
+                    t = (j - a) / (b - a)
+                    tab[j] = (1 - t) * tab[a] + t * tab[b]
+                else:
+                    tab[j] = tab[lo[-1] if len(lo) else hi[0]]
+        return (tab, np.float64(v_lo),
+                np.float64((v_hi - v_lo) / (g - 1)))
 
     # ---- speed-scheduled model/controller parameters ----
 

@@ -77,3 +77,75 @@ def test_lut_rejects_stochastic_mode():
     with pytest.raises(ValueError, match="gains_lut"):
         BalancingRiderParams.create(gains_lut=256, verbose=False,
                                     stochastic_control_behavior=True)
+
+
+def test_invpendulum_zoh_lut_error_bound():
+    """The tabulated ZOH propagator (InvPendulumBicycleParams.create
+    zoh_lut=G) matches the exact per-speed expm to ~1e-6 elementwise over
+    the speed band the riding branch consumes (v >= v_max_walk - a_max*t_s;
+    below it the walking branch overrides the dynamics)."""
+    from cyclistsocialforce_tpu.models import invpendulum as IP
+    from cyclistsocialforce_tpu.ops.smallmat import expm_small
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    p = InvPendulumBicycleParams.create(zoh_lut=4096)
+    tab, v0, dv = p.ip_zoh_lut
+    assert np.all(np.isfinite(tab))          # singular rows repaired
+
+    vs = np.linspace(1.45, 7.0, 257)
+    t_s = float(np.asarray(p.t_s))
+    pb = {f: jnp.asarray(float(np.asarray(getattr(p, f))))
+          for f in ("l", "l_2", "g", "tau_1_squared", "c_steer",
+                    "i_steer_vertvert")}
+
+    def e_at(v):
+        K_x, K_u = p.fullstate_feedback_gains(v)
+        A, B = IP.openloop_matrices(pb, v)
+        Acl = A - B[:, None] * K_x[None, :]
+        aug = (jnp.zeros((6, 6), dtype=A.dtype)
+               .at[:5, :5].set(Acl * t_s).at[:5, 5].set(K_u * B * t_s))
+        E = expm_small(aug)
+        return jnp.concatenate([E[:5, :5].reshape(25), E[:5, 5]])
+
+    exact = np.asarray(jax.vmap(e_at)(jnp.asarray(vs)))
+    t = (vs - v0) / dv
+    i0 = np.clip(np.floor(t).astype(int), 0, tab.shape[0] - 2)
+    w = (t - i0)[:, None]
+    lut = tab[i0] * (1 - w) + tab[i0 + 1] * w
+    # relative per speed: the propagator entries scale like the gains
+    # (~1/v^3, up to ~4e2 near the walking boundary), so a fixed absolute
+    # bound would be dominated by the largest (and least-consumed) rows
+    err = (np.abs(lut - exact).max(axis=1)
+           / np.abs(exact).max(axis=1))
+    assert err.max() < 5e-5, err.max()
+
+
+def test_invpendulum_zoh_lut_trajectories_match_exact():
+    """End-to-end: the LUT and exact expm paths produce the same riding
+    trajectories (sub-mm over 2 s)."""
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    rng = np.random.default_rng(6)
+    n = 32
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64, hist_len=128)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["invpendulum"]
+    finals = {}
+    for tag, p in (("exact", InvPendulumBicycleParams.create()),
+                   ("lut", InvPendulumBicycleParams.create(zoh_lut=4096))):
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["lut"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev

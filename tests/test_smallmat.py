@@ -95,3 +95,23 @@ def test_expm_vmapped_zoh_matrices():
     e_ref = np.asarray(jax.vmap(jsl.expm)(augs))
     e = np.asarray(jax.vmap(expm_small)(augs))
     np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_expm_float32_production_dtype():
+    """The f32 path (the production TPU dtype): norm-adaptive squarings
+    must not amplify rounding -- a fixed s=12 gave ~3e-4 relative error
+    on the small-norm ZOH matrices (ADVICE round 2); the adaptive count
+    (s = 0 for norms below theta_13) stays near f32 machine precision.
+    Reference = f64 expm cast down."""
+    import jax.scipy.linalg as jsl
+
+    from cyclistsocialforce_tpu.ops.smallmat import expm_small
+
+    rng = np.random.default_rng(5)
+    # scale 50 is omitted: exp(A) itself overflows float32 there
+    for scale in (0.05, 0.2, 0.5, 2.0, 5.0):
+        A64 = jnp.asarray(rng.normal(size=(6, 6)) * scale)
+        e_ref = np.asarray(jsl.expm(A64)).astype(np.float32)
+        e32 = np.asarray(expm_small(A64.astype(jnp.float32)))
+        err = np.abs(e32 - e_ref).max() / max(1.0, np.abs(e_ref).max())
+        assert err < 5e-6, (scale, err)
