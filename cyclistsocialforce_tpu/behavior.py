@@ -106,6 +106,60 @@ class GMMData:
                     self.means[k], self.covariances[k], size=int(m.sum()))
         return out, labels
 
+    def scale_variance(self, factor):
+        """New GMMData with every component's covariance scaled by
+        `factor` (the reference's variance_scale: cov -> S cov S^T with
+        S = sqrt(factor) I, i.e. factor * cov;
+        controlbehavior.py:246-254)."""
+        if factor <= 0:
+            raise ValueError("variance scale factor must be positive")
+        return GMMData(means=self.means,
+                       covariances=self.covariances * float(factor),
+                       weights=self.weights)
+
+    def marginal_pdf_1d(self, x, idx):
+        """Marginal density of feature `idx` at locations `x`
+        (reference eval_1d_marginal_pdf_samples,
+        controlbehavior.py:280-307: the marginal of a GMM is the 1D
+        mixture of the per-component marginals). Vectorized over
+        components instead of a per-component scipy loop.
+
+        Returns (x flattened, densities)."""
+        x = np.asarray(x, dtype=float).reshape(-1)
+        mu = self.means[:, idx]                      # [K]
+        var = self.covariances[:, idx, idx]          # [K]
+        z = (x[None, :] - mu[:, None]) ** 2 / var[:, None]
+        comp = np.exp(-0.5 * z) / np.sqrt(2.0 * np.pi * var[:, None])
+        return x, (self.weights[:, None] * comp).sum(axis=0)
+
+    def marginal_pdf_1d_range(self, xlim, idx, n_samples=200):
+        """Marginal density of feature `idx` over a uniform grid
+        (reference eval_1d_marginal_pdf, controlbehavior.py:309-332)."""
+        return self.marginal_pdf_1d(
+            np.linspace(xlim[0], xlim[1], n_samples), idx)
+
+    def marginal_pdf_2d(self, xlim, ylim, idx_x, idx_y, n_samples=200):
+        """Joint marginal density of features (idx_x, idx_y) on an
+        n x n grid (reference eval_2d_marginal_pdf,
+        controlbehavior.py:334-377).
+
+        Returns (locations [n*n, 2], densities [n*n])."""
+        x = np.linspace(xlim[0], xlim[1], n_samples)
+        y = np.linspace(ylim[0], ylim[1], n_samples)
+        X, Y = np.meshgrid(x, y)
+        pts = np.stack([X.ravel(), Y.ravel()], axis=1)       # [P, 2]
+        sel = [idx_x, idx_y]
+        mu = self.means[:, sel]                              # [K, 2]
+        cov = self.covariances[:, sel][:, :, sel]            # [K, 2, 2]
+        det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] * cov[:, 1, 0]
+        d = pts[None, :, :] - mu[:, None, :]                 # [K, P, 2]
+        # quadratic form through the analytic 2x2 inverse
+        q = (cov[:, 1, 1, None] * d[:, :, 0] ** 2
+             - 2.0 * cov[:, 0, 1, None] * d[:, :, 0] * d[:, :, 1]
+             + cov[:, 0, 0, None] * d[:, :, 1] ** 2) / det[:, None]
+        comp = np.exp(-0.5 * q) / (2.0 * np.pi * np.sqrt(det[:, None]))
+        return pts, (self.weights[:, None] * comp).sum(axis=0)
+
 
 def conditional_gmm(gmm: GMMData, idx_given: int, x_given: float) -> GMMData:
     """Analytically condition a joint GMM on one feature.

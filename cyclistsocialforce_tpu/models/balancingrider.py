@@ -100,10 +100,30 @@ def _pole_features(params, state, v, n, gate=None):
         need = need & gate
     key, sub = jax.random.split(state.key)
     rt = params.polemodel_rt
-    sampled, _ = rt.sample_features_batch(sub, v)
     cur = state.dyn_gains[:, _PF]
-    feats = jnp.where(need[:, None], sampled, cur)
-    v_last = jnp.where(need, v, v_last)
+    budget = int(getattr(params, "br_resample_budget", 0) or 0)
+    if budget and budget < n and gate is not None:
+        # (gate is None only in init_gains, where EVERY agent draws its
+        # first features -- the budget must not truncate initialization)
+        # COMPACTED path: the hysteresis gate admits only a trickle of
+        # agents per step (an agent must drift 0.83 m/s in speed since
+        # its last update), but the branchless dense path still runs the
+        # full conditional-GMM sampler for every agent and masks the
+        # result (~2/3 of the stochastic flagship's step time at
+        # N = 1e5). Instead: compact the needy agents' indices into a
+        # fixed-size buffer, sample only those, scatter back. Agents
+        # beyond the budget stay un-updated and therefore still needy --
+        # they are picked up on following steps (index-ordered), a
+        # deferral the speed-hysteresis semantics absorb.
+        idx = jnp.nonzero(need, size=budget, fill_value=n)[0]
+        v_sub = v[jnp.minimum(idx, n - 1)]
+        sampled_sub, _ = rt.sample_features_batch(sub, v_sub)
+        feats = cur.at[idx].set(sampled_sub, mode="drop")
+        v_last = v_last.at[idx].set(v_sub, mode="drop")
+    else:
+        sampled, _ = rt.sample_features_batch(sub, v)
+        feats = jnp.where(need[:, None], sampled, cur)
+        v_last = jnp.where(need, v, v_last)
     dg = state.dyn_gains.at[:, _PF].set(feats).at[:, _VLAST].set(v_last)
     return feats, state.replace(dyn_gains=dg, key=key)
 

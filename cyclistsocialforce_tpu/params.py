@@ -462,6 +462,14 @@ class BalancingRiderParams(BicycleParams):
         pytree_node=False, default=False)
     controlparam_resampling_speedthresh: Any = 0.8333
     polemodel_rt: Any = None
+    # Per-step cap on how many agents run the conditional-GMM resampler
+    # (0 = no cap). The hysteresis gate admits only a trickle of agents
+    # per step; with a budget the needy agents are compacted, sampled,
+    # and scattered back instead of sampling the whole population and
+    # masking (models/balancingrider._pole_features). Overflow defers to
+    # later steps (deferred agents stay needy). Population-scale runs
+    # want ~2-4x the expected per-step resample count.
+    br_resample_budget: int = struct.field(pytree_node=False, default=0)
     # torque disturbances -- re-introduced feature (the reference removed
     # support: dynamics.py:317-318; params parameters.py:1319-1322)
     p_dist_roll: Any = 0.0
@@ -478,7 +486,7 @@ class BalancingRiderParams(BicycleParams):
                controlparam_polemodel_component=0,
                p_dist_roll=0.0, p_dist_steer=0.0,
                T_dist_roll=9000.0, T_dist_steer=1000.0,
-               gains_lut=0,
+               gains_lut=0, resample_budget=0,
                calib_mode=False, verbose=True, **kw):
         from cyclistsocialforce_tpu import behavior
         from cyclistsocialforce_tpu.ops import whipple
@@ -607,16 +615,24 @@ class BalancingRiderParams(BicycleParams):
             controlparam_resampling_speedthresh=(
                 controlparam_resampling_speedthresh),
             polemodel_rt=pm_rt,
+            br_resample_budget=int(resample_budget),
             p_dist_roll=_chk_range("p_dist_roll", p_dist_roll, 0.0, 1.0),
             p_dist_steer=_chk_range("p_dist_steer", p_dist_steer, 0.0, 1.0),
             T_dist_roll=T_dist_roll, T_dist_steer=T_dist_steer, **kw)
 
 
 class RoadElementParams(struct.PyTreeNode):
-    """Road-edge repulsion parameters (reference parameters.py:367-418)."""
+    """Road-edge repulsion + drawing parameters
+    (reference parameters.py:367-418)."""
 
     F_0: Any = 0.05
     sigma: Any = 3.0
+    # drawing style (host-side metadata, reference defaults)
+    roadsurface_color: Any = struct.field(pytree_node=False,
+                                          default=(0.8, 0.8, 0.8))
+    roadedge_color: Any = struct.field(pytree_node=False, default="white")
+    roadedge_linewidth: float = struct.field(pytree_node=False,
+                                             default=1.0)
 
     @classmethod
     def create(cls, F_0: float = 0.05, sigma: float = 3.0, **kw):

@@ -14,10 +14,34 @@ keep the last/first two (intersection.py:344-377).
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
 import numpy as np
+
+#: Shipped network assets (the reference ships its demo nets under
+#: demo/config/*, SURVEY.md section 2.8; ours live in package data so
+#: demos/tests are self-contained): "threeleg" (T-junction, six turning
+#: movements) and "grid2x2" (four crossing corridors / four junctions).
+SUMO_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                             "data", "sumo")
+
+
+def packaged_net_path(name: str) -> str:
+    """Absolute path of a shipped .net.xml ('threeleg', 'grid2x2')."""
+    path = os.path.join(SUMO_DATA_DIR, f"{name}.net.xml")
+    if not os.path.exists(path):
+        avail = sorted(f[:-8] for f in os.listdir(SUMO_DATA_DIR)
+                       if f.endswith(".net.xml"))
+        raise FileNotFoundError(
+            f"No packaged net {name!r}; available: {avail}")
+    return path
+
+
+def load_packaged_net(name: str) -> "SumoNetwork":
+    """Parse one of the shipped networks."""
+    return SumoNetwork.parse(packaged_net_path(name))
 
 
 def _parse_shape(s):

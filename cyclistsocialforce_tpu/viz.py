@@ -215,12 +215,49 @@ class Arrow2D:
             self.head.set(**kwargs)
 
 
+def draw_road(ax, segments):
+    """Draw road geometry: filled surface polygon between the two edge
+    polylines plus the edge lines on top, with the reference's styling
+    (reference RoadSegment.draw_element, intersection.py:96-116:
+    roadsurface_color fill, white edges at zorder 10).
+
+    `segments` is a RoadSegmentCollection, a list of RoadSegment, or one
+    RoadSegment (road.py). Returns the created artists (static scenery --
+    draw once, not per frame).
+    """
+    from matplotlib.patches import Polygon
+
+    if hasattr(segments, "segs"):
+        segments = segments.segs
+    elif not isinstance(segments, (list, tuple)):
+        segments = [segments]
+    artists = []
+    for seg in segments:
+        right, left = seg.edges
+        p = seg.params
+        lw = getattr(p, "roadedge_linewidth", 1.0)
+        surf = Polygon(
+            np.concatenate([right, left[::-1]], axis=0), closed=True,
+            edgecolor=getattr(p, "roadsurface_color", (0.8, 0.8, 0.8)),
+            facecolor=getattr(p, "roadsurface_color", (0.8, 0.8, 0.8)),
+            linewidth=lw * 2 + 1)
+        ax.add_patch(surf)
+        artists.append(surf)
+        for verts in (right, left):
+            artists += ax.plot(
+                verts[:, 0], verts[:, 1],
+                color=getattr(p, "roadedge_color", "white"),
+                linewidth=lw, zorder=10)
+    return artists
+
+
 class SceneDrawing:
     """Population renderer: bikes/cars, trails, destinations, force arrows
-    (the reference's per-vehicle VehicleDrawing, vectorized)."""
+    (the reference's per-vehicle VehicleDrawing, vectorized); optional
+    static road-geometry underlay (`road_segments`)."""
 
     def __init__(self, ax=None, trail_len=300, draw_forces=False,
-                 car_mask=None, labels=None):
+                 car_mask=None, labels=None, road_segments=None):
         import matplotlib.pyplot as plt
 
         if ax is None:
@@ -234,6 +271,9 @@ class SceneDrawing:
         self.car = CarDrawing2D()
         self._artists = []
         self._trails = None
+        # static scenery: drawn once, never cleared by render()
+        self.road_artists = (draw_road(self.ax, road_segments)
+                             if road_segments is not None else [])
 
     def _clear(self):
         for a in self._artists:

@@ -60,9 +60,9 @@ def main():
                                 grid_step=0.25, quiver_step=1.0,
                                 slice_y=0.0)
         ax0 = np.atleast_1d(axes)[0]
-        for seg in coll.segs:
-            for edge in seg.edges:
-                ax0.plot(edge[:, 0], edge[:, 1], "k-")
+        from cyclistsocialforce_tpu.viz import draw_road
+
+        draw_road(ax0, coll)   # reference-style surface + edge rendering
         ax0.set_title("road-edge force field")
         plt.show()
         return

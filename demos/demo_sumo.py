@@ -75,14 +75,28 @@ def main():
     ap.add_argument("--bicycle-type", default="bicycle",
                     choices=["bicycle", "twowheeler", "invpendulum",
                              "balancingrider"])
-    ap.add_argument("--net", default=None, help="net.xml path")
+    ap.add_argument("--net", default=None,
+                    help="net.xml path, or a packaged net name "
+                         "('threeleg', 'grid2x2')")
     args = ap.parse_args()
 
-    net = SumoNetwork.parse(args.net) if args.net else \
-        SumoNetwork.parse(NET_XML)
+    if args.net in ("threeleg", "grid2x2"):
+        from cyclistsocialforce_tpu.sumo import load_packaged_net
+
+        net = load_packaged_net(args.net)
+    elif args.net:
+        net = SumoNetwork.parse(args.net)
+    else:
+        net = SumoNetwork.parse(NET_XML)
     t = FakeTraCI(net, step_length=0.01)
     rng = np.random.default_rng(0)
-    routes = [("EW", "EE"), ("ES", "EE"), ("EW", "ESo")]
+    if args.net == "threeleg":
+        routes = [("WJ", "JE"), ("SJ", "JE"), ("EJ", "JS"), ("SJ", "JW")]
+    elif args.net == "grid2x2":
+        routes = [("inA", "J00J10", "outA"), ("inB", "J10J11", "outB"),
+                  ("inC", "J00J01", "outC"), ("inD", "J01J11", "outD")]
+    else:
+        routes = [("EW", "EE"), ("ES", "EE"), ("EW", "ESo")]
     for k in range(args.bikes):
         t.add_vehicle(f"bike{k}", routes[k % len(routes)],
                       speed=float(rng.uniform(3.0, 5.0)),

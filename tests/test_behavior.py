@@ -171,3 +171,56 @@ def test_polemodel_rt_batch_sampler_distribution(pm):
         d, p = stats.ks_2samp(batch[:, col], perkey[:, col])
         assert p > 1e-4, (f"feature {col}: KS {d:.4f}, p={p:.2e} -- "
                           f"batched sampler diverges from per-key sampler")
+
+
+def test_gmm_variance_scaling(pm):
+    """scale_variance multiplies every covariance by the factor (the
+    reference's S cov S^T with S = sqrt(f) I, controlbehavior.py:246-254)
+    and leaves means/weights untouched."""
+    g = pm.gmm
+    g2 = g.scale_variance(2.5)
+    np.testing.assert_allclose(g2.covariances, g.covariances * 2.5)
+    np.testing.assert_allclose(g2.means, g.means)
+    np.testing.assert_allclose(g2.weights, g.weights)
+    with pytest.raises(ValueError):
+        g.scale_variance(0.0)
+
+
+def test_gmm_marginal_pdf_1d_matches_scipy(pm):
+    """1D marginal density vs scipy multivariate_normal per component
+    (reference eval_1d_marginal_pdf_samples, controlbehavior.py:280-307)."""
+    from scipy.stats import multivariate_normal
+
+    g = pm.gmm
+    idx = 1
+    x = np.linspace(g.means[:, idx].min() - 2.0,
+                    g.means[:, idx].max() + 2.0, 101)
+    _, dens = g.marginal_pdf_1d(x, idx)
+    ref = np.zeros_like(x)
+    for k in range(g.n_components):
+        ref += g.weights[k] * multivariate_normal(
+            mean=g.means[k, idx],
+            cov=g.covariances[k, idx, idx]).pdf(x)
+    np.testing.assert_allclose(dens, ref, rtol=1e-12)
+    # the range helper integrates to ~the marginal mass (~1)
+    xs, ds = g.marginal_pdf_1d_range(
+        (x.min() - 20, x.max() + 20), idx, n_samples=4001)
+    assert abs(np.trapezoid(ds, xs) - 1.0) < 1e-3
+
+
+def test_gmm_marginal_pdf_2d_matches_scipy(pm):
+    """2D marginal density vs scipy (reference eval_2d_marginal_pdf,
+    controlbehavior.py:334-377)."""
+    from scipy.stats import multivariate_normal
+
+    g = pm.gmm
+    ix, iy = 0, 2
+    xl = (g.means[:, ix].min() - 1, g.means[:, ix].max() + 1)
+    yl = (g.means[:, iy].min() - 1, g.means[:, iy].max() + 1)
+    pts, dens = g.marginal_pdf_2d(xl, yl, ix, iy, n_samples=31)
+    ref = np.zeros(pts.shape[0])
+    for k in range(g.n_components):
+        cov = g.covariances[k][[ix, iy], :][:, [ix, iy]]
+        ref += g.weights[k] * multivariate_normal(
+            mean=g.means[k, [ix, iy]], cov=cov).pdf(pts)
+    np.testing.assert_allclose(dens, ref, rtol=1e-10)

@@ -44,6 +44,63 @@ def test_stochastic_control_runs_stable():
     assert np.max(np.abs(traj[:, :, 5])) < np.pi / 3
 
 
+def test_stochastic_resample_budget():
+    """The compacted resampling path (BalancingRiderParams.create
+    resample_budget=B): needy agents within the budget are updated
+    exactly like the dense path's gating; overflow agents defer (stay
+    needy) instead of being silently dropped."""
+    import jax
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import make_state
+    from cyclistsocialforce_tpu.models import balancingrider as BR
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+
+    n = 16
+    params = BalancingRiderParams.create(
+        stochastic_control_behavior=True, resample_budget=4,
+        verbose=False)
+    rng = np.random.default_rng(0)
+    s0 = np.zeros((n, 8))
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = BR.prepare(params, make_state(s0, dtype=np.float64))
+
+    # mark exactly 6 agents needy (speed moved > thresh since last
+    # update); the budget admits the FIRST FOUR by index
+    v_last = st.dyn_gains[:, BR._VLAST]
+    v_now = jnp.asarray(s0[:, 3])
+    needy = np.zeros(n, bool)
+    needy[[1, 3, 5, 7, 9, 11]] = True
+    v_last = jnp.where(jnp.asarray(needy), v_now - 2.0, v_now)
+    st = st.replace(dyn_gains=st.dyn_gains.at[:, BR._VLAST].set(v_last))
+
+    feats, st2 = BR._pole_features(
+        params, st, v_now, n, gate=jnp.ones(n, bool))
+    updated = np.asarray(st2.dyn_gains[:, BR._VLAST] == v_now)
+    assert list(np.where(~updated)[0]) == [9, 11]   # deferred overflow
+    assert np.all(np.isfinite(np.asarray(feats)))
+
+    # deferred agents are picked up on the next call
+    feats3, st3 = BR._pole_features(
+        params, st2, v_now, n, gate=jnp.ones(n, bool))
+    assert np.all(np.asarray(st3.dyn_gains[:, BR._VLAST] == v_now))
+
+
+def test_stochastic_budget_trajectories_stable():
+    """End-to-end budgeted stochastic run stays finite and stable."""
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+
+    params = BalancingRiderParams.create(
+        stochastic_control_behavior=True,
+        controlparam_resampling_speedthresh=0.5,
+        resample_budget=2)
+    traj, fx, fy = run_scenario(
+        "balancingrider", params, ENCROACH_S0, ENCROACH_DESTS, 400,
+        v_desired=[4.5, 5.0, 5.0])
+    assert np.all(np.isfinite(traj))
+    assert np.max(np.abs(traj[:, :, 5])) < np.pi / 3
+
+
 def test_torque_disturbances():
     """Re-introduced roll/steer torque disturbances perturb the trajectory
     but keep it finite (support removed upstream, dynamics.py:317-318)."""

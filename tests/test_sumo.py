@@ -103,7 +103,173 @@ def test_reference_large_net_multi_intersection():
         cosim.step()
 
 
-def test_fake_traci_moves_vehicles(net):
+def test_packaged_threeleg_net():
+    """The SHIPPED 3-leg network (package data, no reference checkout
+    needed) parses and runs a full handover roundtrip."""
+    from cyclistsocialforce_tpu.sumo import load_packaged_net
+
+    pnet = load_packaged_net("threeleg")
+    assert [j.id for j in pnet.non_dead_end_junctions()] == ["J0"]
+    assert len(pnet.internal_lane_ids("J0")) == 6
+    assert len(pnet.incoming_edges("J0")) == 3
+    assert len(pnet.outgoing_edges("J0")) == 3
+    # all six turning movements have via lanes
+    for a, b in (("WJ", "JE"), ("WJ", "JS"), ("SJ", "JE"),
+                 ("SJ", "JW"), ("EJ", "JW"), ("EJ", "JS")):
+        assert pnet.via_lane(a, b) is not None, (a, b)
+
+    t = FakeTraCI(pnet, step_length=0.01)
+    t.add_vehicle("b0", ("WJ", "JE"), speed=4.0, depart_pos=48.0)
+    t.add_vehicle("b1", ("SJ", "JW"), speed=4.0, depart_pos=48.0)
+    cosim = SumoCoSimulation(pnet, t, bicycle_type="bicycle", capacity=8)
+    entered = set()
+    for _ in range(6000):
+        if t.simulation.getMinExpectedNumber() == 0:
+            break
+        cosim.step()
+        entered |= set(cosim.intersections[0].road_user_ids())
+    assert entered == {"b0", "b1"}
+    assert t.simulation.getMinExpectedNumber() == 0
+
+
+def test_packaged_grid_net_multi_intersection():
+    """The shipped 2x2-grid network builds a 4-intersection co-sim and
+    routes riders across two junctions each."""
+    from cyclistsocialforce_tpu.sumo import load_packaged_net
+
+    pnet = load_packaged_net("grid2x2")
+    live = pnet.non_dead_end_junctions()
+    assert sorted(j.id for j in live) == ["J00", "J01", "J10", "J11"]
+    t = FakeTraCI(pnet, step_length=0.01)
+    t.add_vehicle("a0", ("inA", "J00J10", "outA"), speed=5.0,
+                  depart_pos=46.0)
+    t.add_vehicle("b0", ("inB", "J10J11", "outB"), speed=5.0,
+                  depart_pos=46.0)
+    cosim = SumoCoSimulation(pnet, t, bicycle_type="bicycle", capacity=8)
+    assert len(cosim.intersections) == 4
+    visited = {i.id: set() for i in cosim.intersections}
+    for _ in range(12000):
+        if t.simulation.getMinExpectedNumber() == 0:
+            break
+        cosim.step()
+        for ins in cosim.intersections:
+            visited[ins.id] |= set(ins.road_user_ids())
+    assert t.simulation.getMinExpectedNumber() == 0
+    assert "a0" in visited["J00"] and "a0" in visited["J10"]
+    assert "b0" in visited["J10"] and "b0" in visited["J11"]
+
+
+class RecordingTransport:
+    """Canned-session transport with the REAL TraCI call surface.
+
+    Replays a recorded trace of SUMO-side responses (occupancy,
+    kinematic state in SUMO conventions: position = lane centerline,
+    angle = degrees clockwise from north) and records every call the
+    bridge makes, so the traci/libsumo branch's call names, argument
+    conventions, and angle conversions are pinned without a SUMO
+    install (reference intersection.py:446,680, scenario.py:394-412).
+    """
+
+    def __init__(self, occupancy_trace, states):
+        self.calls = []
+        self._occ = occupancy_trace      # step -> {lane_id: (vids...)}
+        self._states = states            # vid -> dict of canned state
+        self._step = 0
+        rec = self
+
+        class _Lane:
+            def getLastStepVehicleIDs(self, lane_id):
+                rec.calls.append(("lane.getLastStepVehicleIDs", lane_id))
+                k = min(rec._step, len(rec._occ) - 1)
+                return rec._occ[k].get(lane_id, ())
+
+        class _Vehicle:
+            def getRoute(self, vid):
+                rec.calls.append(("vehicle.getRoute", vid))
+                return rec._states[vid]["route"]
+
+            def getRouteIndex(self, vid):
+                rec.calls.append(("vehicle.getRouteIndex", vid))
+                return rec._states[vid]["route_index"]
+
+            def getPosition(self, vid):
+                rec.calls.append(("vehicle.getPosition", vid))
+                return rec._states[vid]["position"]
+
+            def getAngle(self, vid):
+                rec.calls.append(("vehicle.getAngle", vid))
+                return rec._states[vid]["angle"]
+
+            def getSpeed(self, vid):
+                rec.calls.append(("vehicle.getSpeed", vid))
+                return rec._states[vid]["speed"]
+
+            def moveToXY(self, vid, edge_id, lane_index, x, y,
+                         angle=None, keepRoute=0):
+                rec.calls.append(("vehicle.moveToXY", vid, edge_id,
+                                  lane_index, x, y, angle, keepRoute))
+
+        class _Simulation:
+            def getMinExpectedNumber(self):
+                rec.calls.append(("simulation.getMinExpectedNumber",))
+                return 1 if rec._step < len(rec._occ) - 1 else 0
+
+        self.lane = _Lane()
+        self.vehicle = _Vehicle()
+        self.simulation = _Simulation()
+
+    def simulationStep(self):
+        self.calls.append(("simulationStep",))
+        self._step += 1
+
+    def close(self):
+        self.calls.append(("close",))
+
+
+def test_recorded_trace_real_traci_surface(net):
+    """Drive the co-sim bridge against a canned real-TraCI session:
+    asserts the exact call surface crossed per step, the moveToXY
+    argument convention (edgeID='', lane=-1, keepRoute=6), and the
+    SUMO<->SFM angle conversion both ways."""
+    # canned session: b0 sits on internal lane :J_0_0 for 5 steps
+    occ = [{} for _ in range(8)]
+    for k in range(1, 6):
+        occ[k] = {":J_0_0": ("b0",)}
+    states = {"b0": {"route": ("EW", "EE"), "route_index": 0,
+                     "position": (-7.5, 0.0), "angle": 90.0,
+                     "speed": 4.0}}
+    t = RecordingTransport(occ, states)
+    cosim = SumoCoSimulation(net, t, bicycle_type="bicycle", capacity=4)
+    ins = cosim.intersections[0]
+    for _ in range(6):
+        cosim.step()
+
+    # SUMO angle 90 deg (clockwise from north) == SFM heading 0 (east)
+    slot = ins._slots["b0"]
+    psi = float(np.asarray(ins.state.s)[slot, 2])
+    assert abs(psi) < 0.2, psi
+
+    names = [c[0] for c in t.calls]
+    # occupancy is polled for every internal lane every step
+    assert names.count("lane.getLastStepVehicleIDs") >= 2 * 6
+    # the state pull on entry crosses exactly the reference's call set
+    for pull in ("vehicle.getRoute", "vehicle.getRouteIndex",
+                 "vehicle.getPosition", "vehicle.getAngle",
+                 "vehicle.getSpeed"):
+        assert names.count(pull) == 1, pull
+    # the SUMO clock advances once per co-sim step
+    assert names.count("simulationStep") == 6
+
+    pushes = [c for c in t.calls if c[0] == "vehicle.moveToXY"]
+    assert pushes, "no position pushes to SUMO"
+    for (_, vid, edge_id, lane_index, x, y, angle, keep) in pushes:
+        assert vid == "b0"
+        assert edge_id == "" and lane_index == -1   # network mapping mode
+        assert keep == 6                            # keepRoute=6
+        assert np.isfinite([x, y]).all()
+        # pushed angle is in SUMO convention: east ~ 90 deg
+        assert 0.0 <= angle < 360.0
+        assert abs(angle - 90.0) < 30.0
     t = FakeTraCI(net, step_length=0.1)
     t.add_vehicle("b0", ("EW", "EE"), speed=4.0)
     assert t.simulation.getMinExpectedNumber() == 1

@@ -197,3 +197,43 @@ def test_arrow2d_2d_and_3d_projection():
     a3.update(1.0, 1.0, -1.0, 0.5)
     fig.canvas.draw()
     plt.close(fig)
+
+
+def test_draw_road_renders():
+    """Road geometry rendering: surface polygon + edge polylines with the
+    reference's styling (reference RoadSegment.draw_element,
+    intersection.py:96-116), accepted as collection / list / segment."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from cyclistsocialforce_tpu.road import RoadSegmentCollection
+    from cyclistsocialforce_tpu.params import RoadElementParams
+    from cyclistsocialforce_tpu.viz import SceneDrawing, draw_road
+
+    coll = RoadSegmentCollection.chain(
+        (0.0, 0.0, 0.0),
+        [("straight", 10.0), ("curve", 5.0, np.pi / 2, "left")],
+        width=4.0, params=RoadElementParams.create())
+    fig, ax = plt.subplots()
+    artists = draw_road(ax, coll)
+    # per segment: 1 surface patch + 2 edge lines
+    assert len(artists) == 3 * len(coll)
+    from matplotlib.patches import Polygon
+    assert sum(isinstance(a, Polygon) for a in artists) == len(coll)
+    # edge lines sit above the surface fill
+    lines = [a for a in artists if not isinstance(a, Polygon)]
+    assert all(ln.get_zorder() == 10 for ln in lines)
+    plt.close(fig)
+
+    # SceneDrawing underlay survives render() clears
+    from cyclistsocialforce_tpu import make_state
+    st = make_state(np.zeros((2, 5)))
+    fig, ax = plt.subplots()
+    sd = SceneDrawing(ax=ax, road_segments=coll)
+    n_road = len(sd.road_artists)
+    assert n_road == 3 * len(coll)
+    sd.render(st)
+    sd.render(st)
+    assert all(a.axes is ax for a in sd.road_artists)
+    plt.close(fig)
