@@ -544,8 +544,13 @@ class Engine(struct.PyTreeNode):
     # Block-sparse neighbor culling (NeighborConfig). When set, the
     # pairwise stage cell-sorts the population and evaluates only tiles of
     # blocks within the cutoff (Pallas kernel on TPU) -- O(N * density)
-    # instead of O(N^2). Only the "twod" force family is supported.
+    # instead of O(N^2). Supports the named force families ("twod" and
+    # "legacy" -- the latter through the mixed-family tile with every row
+    # legacy; remember its slow forward decay wants cutoff ~100 m, see
+    # NeighborConfig); custom tiles need the dense/chunked path.
     neighbors: Any = struct.field(pytree_node=False, default=None)
+    # which named family the culled pack uses ("twod" | "legacy")
+    pair_family: str = struct.field(pytree_node=False, default="twod")
     # True when every agent's hfov covers the full circle (the reference
     # Vehicle default): the kernels then elide the FOV cone test
     # statically (semantically a no-op, ~6 full-tile ops/pair saved).
@@ -570,15 +575,26 @@ class Engine(struct.PyTreeNode):
             rep = REP_FORCES[rep]
         rep_reduce = rep_reduce or getattr(model, "REP_REDUCE", None)
         combine = combine_forces or getattr(model, "COMBINE_FORCES", None)
-        if neighbors is not None and rep is not rep_tile_twod:
-            raise ValueError("neighbor culling supports the 'twod' force "
-                             "family only")
+        if rep is rep_tile_legacy:
+            family = "legacy"
+        elif rep is rep_tile_twod:
+            family = "twod"
+        else:
+            family = "custom"
+        if (neighbors is not None and family == "custom"
+                and neighbors.backend != "xla"):
+            raise ValueError(
+                "custom force tiles (e.g. external models) support "
+                "neighbor culling only with the 'xla' backend (the "
+                "generic per-receiver-block path preserves arbitrary "
+                "rep_reduce hooks); the Pallas kernels serve the named "
+                "families ('twod', 'legacy')")
         return cls(params=params, road=road, scripted=scripted,
                    model_step=model.step, dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),
                    rep_chunk=rep_chunk, rep_reduce=rep_reduce,
                    combine_forces=combine, neighbors=neighbors,
-                   full_fov=_hfov_is_full(params))
+                   pair_family=family, full_fov=_hfov_is_full(params))
 
     # ---- one simulation step ----
 
@@ -648,12 +664,31 @@ class Engine(struct.PyTreeNode):
         x, y = state.s[:, X], state.s[:, Y]
         cpsi, spsi = jnp.cos(state.s[:, PSI]), jnp.sin(state.s[:, PSI])
         act = state.active.astype(dtype)
-        # the _SACT column is the source EMIT flag: active AND f_0 > 0,
-        # folded here so the kernels test one column instead of two
-        emit = act * (b("f_0") > 0)
-        src_cols = [x, y, cpsi, spsi, b("f_0"), b("e_0"), b("e_1"),
-                    b("sigma_0"), b("sigma_1"), b("sigma_2"), b("sigma_3"),
-                    jnp.cos(b("hfov") / 2), emit]
+        if self.pair_family == "legacy":
+            # legacy elliptic field through the mixed-family tile layout
+            # (every row fam=1; cols 4-7 = amp, e, 1/sqrt(1-e^2),
+            # 1/p_decay -- mirrors MixedEngine.pack_pair_fields_mixed)
+            e = F.legacy_excentricity(
+                state.s[:, V],
+                jnp.broadcast_to(
+                    jnp.asarray(pair_hi(self.params.v_max_riding),
+                                dtype=dtype), (n,)))
+            p_decay = b("p_decay")
+            amp = b("p_0") / p_decay
+            zero = jnp.zeros((n,), dtype)
+            emit = act * (amp > 0)
+            src_cols = [x, y, cpsi, spsi, amp, e,
+                        1.0 / jnp.sqrt(1.0 - e * e), 1.0 / p_decay,
+                        zero, zero, zero, jnp.cos(b("hfov") / 2), emit,
+                        jnp.ones((n,), dtype)]
+        else:
+            # the _SACT column is the source EMIT flag: active AND
+            # f_0 > 0, folded here so the kernels test one column
+            # instead of two
+            emit = act * (b("f_0") > 0)
+            src_cols = [x, y, cpsi, spsi, b("f_0"), b("e_0"), b("e_1"),
+                        b("sigma_0"), b("sigma_1"), b("sigma_2"),
+                        b("sigma_3"), jnp.cos(b("hfov") / 2), emit]
         src_pack = jnp.stack(
             src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS
                                                    - len(src_cols)), axis=1)
@@ -676,13 +711,101 @@ class Engine(struct.PyTreeNode):
         return src_pack, recv_pack
 
     def pair_kernel_dispatch(self, nbr, valid, src_sorted, recv_sorted,
-                             recv_offset=None, mixed: bool = False):
+                             recv_offset=None, mixed: bool | None = None):
         """Run the configured neighbor-tile backend; [2, B*block] sorted
-        forces. src/recv must already be in cell-sorted order."""
+        forces. src/recv must already be in cell-sorted order. A legacy
+        pair family routes through the mixed-family tile (all rows
+        fam=1)."""
+        if mixed is None:
+            mixed = self.pair_family == "legacy"
         return pair_kernel_dispatch(self.neighbors, self.priority_p2r,
                                     nbr, valid, src_sorted, recv_sorted,
                                     recv_offset=recv_offset, mixed=mixed,
                                     fov=not self.full_fov)
+
+    def repulsive_sum_neighbors_generic(self, state: AgentState,
+                                        cache=None):
+        """Culled pairwise forces for CUSTOM force tiles (external
+        models, reference external.py:44-182): each receiver block
+        gathers its <= KB neighbor source blocks' raw (x, y, psi, v)
+        bundles and evaluates `rep_force` + `rep_reduce` over that ONE
+        [KB*block, block] tile -- so any receiver-side reduction
+        semantics (e.g. the Kaths nearest-neighbor min) hold exactly;
+        invalid table slots are folded into the source-active mask.
+
+        Per-agent parameter arrays are viewed RECEIVER-side: the tile
+        sees a params pytree whose [N, ...] leaves are sliced to the
+        receiver block (custom tiles like Kaths consume per-agent params
+        at receiver positions; source-side per-agent field params need
+        the named-family packed kernels)."""
+        cfg = self.neighbors
+        n = state.n
+        blk = cfg.block
+        npad = ((n + blk - 1) // blk) * blk
+        dtype = state.s.dtype
+        if cache is None:
+            cache = self.neighbor_cache(state)
+        perm, nbr, valid = cache[0], cache[1], cache[2]
+
+        def pad(a, fill):
+            if npad == n:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((npad - n,), fill, dtype=a.dtype)])
+
+        x = pad(state.s[:, X], state.s[0, X])[perm]
+        y = pad(state.s[:, Y], state.s[0, Y])[perm]
+        psi = pad(state.s[:, PSI], 0.0)[perm]
+        v = pad(state.s[:, V], 0.0)[perm]
+        act = pad(state.active, False)[perm]
+        hfov = pad(jnp.broadcast_to(
+            jnp.asarray(self.params.hfov, dtype=dtype), (n,)), 1.0)[perm]
+        idx = jnp.arange(npad, dtype=jnp.int32)[perm]
+
+        nblk = npad // blk
+        lane = jnp.arange(blk, dtype=jnp.int32)
+        resh = lambda a: a.reshape(nblk, blk)    # noqa: E731
+        xr, yr, pr, vr = resh(x), resh(y), resh(psi), resh(v)
+        ar, ir = resh(act), resh(idx)
+
+        # receiver-block views of per-agent parameter leaves
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        blocked = []
+        for leaf in flat:
+            try:
+                a = jnp.asarray(leaf)
+            except (TypeError, ValueError):
+                blocked.append((leaf, None))
+                continue
+            if a.ndim >= 1 and a.shape[0] == n:
+                if npad != n:
+                    a = jnp.concatenate(
+                        [a, jnp.repeat(a[:1], npad - n, axis=0)], axis=0)
+                blocked.append(a[perm].reshape((nblk, blk) + a.shape[1:]))
+            else:
+                blocked.append((leaf, None))   # marker: not per-agent
+
+        def params_view(bi):
+            return treedef.unflatten([
+                l[0] if isinstance(l, tuple) else l[bi] for l in blocked])
+
+        def recv_block(bi):
+            take = (nbr[bi][:, None] * blk + lane[None, :]).reshape(-1)
+            src = (x[take], y[take], psi[take], v[take])
+            src_ok = act[take] & jnp.repeat(valid[bi], blk)
+            recv = (xr[bi], yr[bi], pr[bi], vr[bi])
+            fpx, fpy = self.rep_force(params_view(bi), src, recv)
+            untracked = F.untracked_foes_tile(
+                src[0], src[1], idx[take], src_ok, hfov[take],
+                recv[0], recv[1], recv[2], ir[bi], ar[bi],
+                priority_p2r=self.priority_p2r)
+            reduce = self.rep_reduce or F.sum_sources
+            return reduce(fpx, fpy, ~untracked)
+
+        frx, fry = jax.lax.map(recv_block, jnp.arange(nblk))
+        fx = jnp.zeros((npad,), dtype).at[perm].set(frx.reshape(npad))[:n]
+        fy = jnp.zeros((npad,), dtype).at[perm].set(fry.reshape(npad))[:n]
+        return fx, fy
 
     def repulsive_sum_neighbors(self, state: AgentState, cache=None,
                                 presorted: bool = False):
@@ -695,7 +818,12 @@ class Engine(struct.PyTreeNode):
         order (the sorted-resident fast path of `simulate`): the per-step
         [N, 16]-row gather and the output scatter collapse away. Requires
         N divisible by the block size.
+
+        Custom force tiles route through the generic per-receiver-block
+        path (`repulsive_sum_neighbors_generic`).
         """
+        if self.pair_family == "custom":
+            return self.repulsive_sum_neighbors_generic(state, cache)
         cfg = self.neighbors
         n = state.n
         blk = cfg.block
@@ -871,6 +999,7 @@ class Engine(struct.PyTreeNode):
         sorted_resident = (
             self.neighbors is not None and not record and not record_forces
             and self.scripted is None
+            and self.pair_family != "custom"   # generic path self-sorts
             and state.n % self.neighbors.block == 0)
 
         if sorted_resident:

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cyclistsocialforce_tpu.engine import Engine
+from cyclistsocialforce_tpu.engine import Engine, pair_kernel_dispatch
 from cyclistsocialforce_tpu.ops import forces as F
 from cyclistsocialforce_tpu.state import PSI, V, X, Y, AgentState
 
@@ -178,31 +178,79 @@ def _neighbor_cache_sharded(engine, lstate, axis):
     return perm, nbr, valid, overflow
 
 
-def _repulsive_neighbors(engine, lstate, axis, cache=None):
-    """Culled sharded pair forces: pack + sort local agents, all-gather
-    the sorted source packs over ICI, evaluate only the neighbor-table
-    tiles against the local receivers. Compute is O(N * density / D) per
-    device -- the single-chip culled path divided by the mesh size --
-    with one [N, 16] all_gather per step as the only collective."""
+def _repulsive_neighbors(engine, lstate, axis, cache=None,
+                         presorted=False, comm="allgather"):
+    """Culled sharded pair forces: pack + sort local agents, exchange the
+    sorted source packs over ICI, evaluate only the neighbor-table tiles
+    against the local receivers. Compute is O(N * density / D) per device
+    -- the single-chip culled path divided by the mesh size.
+
+    comm="allgather": one [N, 16] all_gather per step -- minimal latency
+    count, O(N) peak memory per device.
+    comm="ring": the [N/D, 16] sorted pack circulates via ppermute for D
+    hops; each hop masks the neighbor table down to the entries pointing
+    at the currently-resident device's blocks, so only in-cutoff tiles
+    are evaluated (the Pallas grid skips invalid slots). Same total bytes
+    moved, O(N/D) peak memory -- the ring-attention trade applied to the
+    culled pair stage.
+
+    With presorted=True the local shard rows are ALREADY in cell-sorted
+    order (the sorted-resident sharded fast path): the per-step
+    [npad, 16] pack gather and the output scatter collapse away.
+    """
     cfg = engine.neighbors
     nl = lstate.n
     blk = cfg.block
     npad = ((nl + blk - 1) // blk) * blk
     dtype = lstate.s.dtype
     d = jax.lax.axis_index(axis)
+    size = jax.lax.axis_size(axis)
+    bl = npad // blk                                  # blocks per device
 
     if cache is None:
         cache = _neighbor_cache_sharded(engine, lstate, axis)
     perm, nbr, valid = cache[0], cache[1], cache[2]
 
     src_pack, recv_pack = engine.pack_pair_fields(lstate, npad)
-    src_sorted = src_pack[perm]
-    recv_sorted = recv_pack[:, perm]
-    src_glob = jax.lax.all_gather(src_sorted, axis, tiled=True)
+    if presorted:
+        src_sorted, recv_sorted = src_pack, recv_pack
+    else:
+        src_sorted = src_pack[perm]
+        recv_sorted = recv_pack[:, perm]
+    roff = (d * bl).astype(jnp.int32)[None]
 
-    roff = (d * (npad // blk)).astype(jnp.int32)[None]
-    out = engine.pair_kernel_dispatch(nbr, valid, src_glob, recv_sorted,
-                                      recv_offset=roff)
+    if comm == "ring":
+        perm_ring = [(i, (i + 1) % size) for i in range(size)]
+        mixed = engine.pair_family == "legacy"
+        block0 = (src_sorted, jnp.asarray(d, dtype=jnp.int32))
+
+        def hop(carry, _):
+            block, fx, fy = carry
+            src_h, origin = block
+            # mask the table down to entries resident in this hop's pack
+            lo = origin * bl
+            in_hop = valid & (nbr >= lo) & (nbr < lo + bl)
+            nbr_h = jnp.where(in_hop, nbr - lo, 0)
+            out = pair_kernel_dispatch(
+                cfg, engine.priority_p2r, nbr_h,
+                in_hop, src_h, recv_sorted,
+                recv_offset=roff - lo, mixed=mixed,
+                fov=not engine.full_fov)
+            block = jax.lax.ppermute(block, axis, perm_ring)
+            return (block, fx + out[0], fy + out[1]), None
+
+        zeros = jax.lax.pcast(jnp.zeros((npad,), dtype), axis,
+                              to="varying")
+        (_, sfx, sfy), _ = jax.lax.scan(
+            hop, (block0, zeros, zeros), None, length=size)
+        out = (sfx, sfy)
+    else:
+        src_glob = jax.lax.all_gather(src_sorted, axis, tiled=True)
+        out = engine.pair_kernel_dispatch(nbr, valid, src_glob,
+                                          recv_sorted, recv_offset=roff)
+
+    if presorted:
+        return out[0][:nl], out[1][:nl]
     fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:nl]
     fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:nl]
     return fx, fy
@@ -220,9 +268,15 @@ def _check_sharded_support(engine, comm):
         raise ValueError("custom rep_reduce hooks accumulate partial sums "
                          "per hop/tile; only comm='allgather' without "
                          "neighbor culling supports them under shard_map")
+    if engine.neighbors is not None and engine.pair_family == "custom":
+        raise ValueError("custom force tiles support neighbor culling "
+                         "only single-device (the generic per-receiver-"
+                         "block path); use the dense comm schedules "
+                         "under shard_map")
 
 
-def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None):
+def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None,
+                presorted=False, comm="allgather"):
     """One sharded step on the local shard (the shard_map body shared by
     sharded_step_fn / sharded_simulate_fn). Mirrors Engine.step_with_forces
     incl. the engine's combine_forces hook."""
@@ -231,7 +285,8 @@ def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None):
 
     if engine.rep_force is not None:
         if engine.neighbors is not None:
-            frx, fry = _repulsive_neighbors(engine, lstate, axis, nbr_cache)
+            frx, fry = _repulsive_neighbors(engine, lstate, axis, nbr_cache,
+                                            presorted=presorted, comm=comm)
         else:
             frx, fry = rep_comm(engine, lstate, axis)
         combine = engine.combine_forces or F.clamp_add_dest
@@ -267,7 +322,8 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
     rep_comm = _REP_COMMS[comm]
 
     def local_step(lstate: AgentState):
-        out, fx, fy = _local_step(engine, axis, rep_comm, lstate)
+        out, fx, fy = _local_step(engine, axis, rep_comm, lstate,
+                                  comm=comm)
         if with_forces:
             return out, fx, fy
         return out
@@ -292,7 +348,8 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
 
     def local_run(lstate: AgentState):
         def body(st, _):
-            out, fx, fy = _local_step(engine, axis, rep_comm, st)
+            out, fx, fy = _local_step(engine, axis, rep_comm, st,
+                                      comm=comm)
             return out, (out.s if record else None)
 
         k = (engine.neighbors.rebuild_every
@@ -302,12 +359,49 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
 
         n_chunks, rem = divmod(n_steps, k)
 
+        # sorted-resident sharded fast path (mirrors Engine.simulate):
+        # the local shard lives in cell-sorted order for the whole
+        # rebuild chunk, so the per-step [npad, 16] pack gather and
+        # force scatter of the culled pair stage disappear; original
+        # local row order is restored from the carried ident column.
+        sorted_resident = (
+            engine.neighbors is not None and not record
+            and engine.pair_family != "custom"
+            and lstate.n % engine.neighbors.block == 0)
+
+        if sorted_resident:
+            from cyclistsocialforce_tpu.engine import permute_state
+
+            def chunk_sr(carry, _):
+                st, ident = carry
+                cache = _neighbor_cache_sharded(engine, st, axis)
+                st = permute_state(st, cache[0])
+                ident = ident[cache[0]]
+
+                def inner(st, _):
+                    out, fx, fy = _local_step(
+                        engine, axis, rep_comm, st, nbr_cache=cache,
+                        presorted=True, comm=comm)
+                    return out, None
+
+                st, _ = jax.lax.scan(inner, st, None, length=k)
+                return (st, ident), None
+
+            ident0 = jax.lax.pcast(
+                jnp.arange(lstate.n, dtype=jnp.int32), axis, to="varying")
+            (st, ident), _ = jax.lax.scan(
+                chunk_sr, (lstate, ident0), None, length=n_chunks)
+            st = permute_state(st, jnp.argsort(ident))
+            if rem:
+                st, _ = jax.lax.scan(body, st, None, length=rem)
+            return st, None
+
         def chunk(st, _):
             cache = _neighbor_cache_sharded(engine, st, axis)
 
             def inner(st, _):
                 out, fx, fy = _local_step(engine, axis, rep_comm, st,
-                                          nbr_cache=cache)
+                                          nbr_cache=cache, comm=comm)
                 return out, (out.s if record else None)
 
             return jax.lax.scan(inner, st, None, length=k)

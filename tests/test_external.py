@@ -88,3 +88,54 @@ def test_anisotropy_front_vs_back():
     ahead = fv_from((3.0, 0.5))
     behind = fv_from((-3.0, 0.5))
     assert behind < ahead < 0   # signed d.e_v: larger distance ahead
+
+
+def test_kaths_culled_matches_dense():
+    """The generic culled path (custom tile + custom rep_reduce through
+    per-receiver-block tiles, xla backend) reproduces the dense Kaths
+    forces with a domain-covering cutoff -- incl. the min-style Fv
+    reduction, which per-tile partial sums could NOT compose."""
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+
+    n = 96
+    rng = np.random.default_rng(7)
+    s0 = np.zeros((n, 4))
+    s0[:, 0] = rng.uniform(0, 60, n)
+    s0[:, 1] = rng.uniform(0, 60, n)
+    s0[:, 2] = rng.uniform(-0.5, 0.5, n)
+    s0[:, 3] = rng.uniform(2, 5, n)
+    dests = [((float(s0[a, 0] + 50),), (float(s0[a, 1]),))
+             for a in range(n)]
+    eng, st = _engine(n, s0, dests)
+    frv_d, frt_d = eng.repulsive_sum(st)
+
+    eng_c = Engine.create(eng.params, external,
+                          neighbors=NeighborConfig(cutoff=1e3, block=16,
+                                                   kb=6, backend="xla"))
+    assert eng_c.pair_family == "custom"
+    frv_c, frt_c = eng_c.repulsive_sum_neighbors(st)
+    np.testing.assert_allclose(np.asarray(frv_c), np.asarray(frv_d),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(frt_c), np.asarray(frt_d),
+                               atol=1e-9)
+
+    # end-to-end culled simulate follows the dense trajectory
+    d_fin, _ = jax.jit(lambda e, s: e.simulate(s, 20, record=False))(
+        eng, st)
+    c_fin, _ = jax.jit(lambda e, s: e.simulate(s, 20, record=False))(
+        eng_c, st)
+    np.testing.assert_allclose(np.asarray(c_fin.s), np.asarray(d_fin.s),
+                               atol=1e-8)
+
+
+def test_kaths_culled_rejects_pallas_backend():
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+
+    import pytest
+
+    eng, st = _engine(2, [[0.0, 0.0, 0.0, 4.0], [4.0, 0.8, 0.0, 4.0]],
+                      [((40.0,), (0.0,)), ((44.0,), (0.8,))])
+    with pytest.raises(ValueError, match="custom force tiles"):
+        Engine.create(eng.params, external,
+                      neighbors=NeighborConfig(cutoff=100.0, block=16,
+                                               kb=4, backend="pallas"))

@@ -256,3 +256,46 @@ def test_bench_config_is_overflow_free():
     assert not np.asarray(cache[3]).any(), "bench config overflows at t=0"
     assert counts.max() + 2 <= B.KB, (
         f"kb margin too thin: max in-range {counts.max()} vs kb={B.KB}")
+
+
+@pytest.mark.parametrize("backend", ["xla", "interpret"])
+def test_legacy_family_culled_matches_dense(backend):
+    """A homogeneous LEGACY-field population under neighbor culling
+    (routed through the mixed-family tile, all rows fam=1) matches the
+    dense legacy path with a domain-covering cutoff. The legacy field's
+    slow forward decay is why production cutoffs want ~100 m
+    (NeighborConfig docstring); a full cutoff makes the match exact."""
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    n, side = 256, 120.0
+    rng = np.random.default_rng(3)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, side, n)
+    s0[:, 1] = rng.uniform(0, side, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    p = as_population(BicycleParams.create(), n)
+
+    dense = Engine.create(p, MODELS["bicycle2d"])      # legacy family
+    frx_d, fry_d = dense.repulsive_sum(st)
+
+    culled = Engine.create(p, MODELS["bicycle2d"],
+                           neighbors=NeighborConfig(
+                               cutoff=1e4, block=64, kb=4,
+                               backend=backend))
+    assert culled.pair_family == "legacy"
+    frx_c, fry_c = culled.repulsive_sum_neighbors(st)
+    tol = 1e-9 if backend == "xla" else 1e-4
+    np.testing.assert_allclose(np.asarray(frx_c), np.asarray(frx_d),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(fry_c), np.asarray(fry_d),
+                               atol=tol)
+
+    # end-to-end: a culled legacy simulate stays on the dense trajectory
+    d_fin, _ = jax.jit(lambda e, s: e.simulate(s, 10, record=False))(
+        dense, st)
+    c_fin, _ = jax.jit(lambda e, s: e.simulate(s, 10, record=False))(
+        culled, st)
+    np.testing.assert_allclose(np.asarray(c_fin.s), np.asarray(d_fin.s),
+                               atol=1e-8 if backend == "xla" else 1e-4)

