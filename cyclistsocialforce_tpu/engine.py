@@ -195,7 +195,9 @@ def dest_force_spline(params, state: AgentState):
         didx = jnp.clip(ptr1 + jnp.arange(SPL_N_FWD), 0, dq.shape[0] - 1)
         oh4 = (jnp.arange(dq.shape[0])[None, :]
                == didx[:, None]).astype(dq.dtype)               # [4, Q]
-        dq_sel = oh4 @ dq[:, :2]                                # [4, 2]
+        # broadcast-multiply + reduce, NOT @: the vmapped batched tiny
+        # dot_general serializes on TPU (see ops/smallmat.py)
+        dq_sel = jnp.sum(oh4[:, :, None] * dq[None, :, :2], axis=1)
         pts_nl = jnp.concatenate(
             [prev[None], pos[None], dq_sel], axis=0)            # [6, 2]
 

@@ -1,0 +1,191 @@
+"""Bisect the spline-stage composition anomaly: run the full twod step
+(culled Pallas pair stage ON) with surgically modified dest-force
+variants to find which spline sub-stage interacts pathologically with
+the rest of the scan body.
+
+    python scripts/exp_bisect.py --variant nofit
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def make_variant(name):
+    import jax
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu.engine import (SPL_IPRED, SPL_IPRED_LAST,
+                                               SPL_N_FWD, SPL_N_PNTS,
+                                               SPL_THETA_COMF,
+                                               SPL_V_MIN_STABLE,
+                                               nav_params_view)
+    from cyclistsocialforce_tpu.ops import forces as F
+    from cyclistsocialforce_tpu.ops import navigation as nav
+    from cyclistsocialforce_tpu.ops import spline as spl
+    from cyclistsocialforce_tpu.state import PSI, V
+
+    def dest_force(params, state):
+        n = state.n
+        npar = nav_params_view(params, n)
+        g = jnp.broadcast_to(jnp.asarray(params.g), (n,))
+        t_s = jnp.broadcast_to(jnp.asarray(params.t_s), (n,))
+        hist = state.hist_len
+
+        def per_agent(s, pos_hist, i, dest, dq, ptr, nq, znav, znavp,
+                      istop, dstop, p, g_a, ts_a):
+            pos = s[:2]
+            v = s[V]
+            lookback = jnp.floor(1.0 / ts_a).astype(jnp.int32)
+
+            dest1, ptr1, istop1, dstop1 = nav.update_destination(
+                pos, dest, dq, ptr, nq, znav, i, istop, dstop,
+                p.d_arrived_inter)
+            ddest1 = nav.dest_distance(pos, dq, ptr1)
+            vd1, znav1, znavp1 = nav.update_nav_state(
+                v, ddest1, dest1[2], znav, znavp, i, p)
+
+            is_last = ptr1 >= nq - 1
+            if name == "nohist":
+                prev = pos - 0.01
+                back1s = pos - 1.0
+            else:
+                def hist_take(idx):
+                    oh = jnp.arange(hist) == idx
+                    return jnp.sum(jnp.where(oh[:, None], pos_hist, 0.0),
+                                   axis=0)
+
+                prev = hist_take((i - 1) % hist)
+                jb = jnp.maximum(0, i - lookback) % hist
+                back1s = hist_take(jb)
+
+            fwd = jnp.minimum(SPL_N_FWD, nq - ptr1)
+            didx = jnp.clip(ptr1 + jnp.arange(SPL_N_FWD), 0,
+                            dq.shape[0] - 1)
+            oh4 = (jnp.arange(dq.shape[0])[None, :]
+                   == didx[:, None]).astype(dq.dtype)
+            dq_sel = jnp.sum(oh4[:, :, None] * dq[None, :, :2], axis=1)
+            pts_nl = jnp.concatenate(
+                [prev[None], pos[None], dq_sel], axis=0)
+            pts_last = jnp.concatenate(
+                [back1s[None], prev[None], pos[None], dest1[None, :2],
+                 jnp.zeros((2, 2), dq.dtype)], axis=0)
+            pts6 = jnp.where(is_last, pts_last, pts_nl)
+            m_valid = jnp.where(is_last, 4, 2 + fwd)
+
+            if name == "nofit":
+                # skip the moment solve AND evals: aim at the next queue
+                # point with the (wrong but cheap) chord direction
+                seg = pts6[2] - pts6[1]
+                sl = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
+                f_spl = vd1 * seg / jnp.where(sl > 0, sl, 1.0)
+            else:
+                t_sites, moments = spl.fit_masked(pts6, m_valid)
+                if name == "fitonly":
+                    # consume the moments directly, skip both evals
+                    f_spl = vd1 * moments[1] / jnp.maximum(
+                        jnp.abs(moments[1, 0]) + jnp.abs(moments[1, 1]),
+                        1e-6)
+                else:
+                    if name == "noeval20":
+                        i_spl = jnp.where(is_last, 2, 1)
+                    else:
+                        q20 = jnp.linspace(0.0, 1.0, SPL_N_PNTS,
+                                           dtype=pts6.dtype)
+                        S20 = spl.eval_positions(t_sites, pts6, moments,
+                                                 q20)
+                        d2 = ((S20[:, 0] - pos[0]) ** 2
+                              + (S20[:, 1] - pos[1]) ** 2)
+                        i_spl = jnp.where(is_last, jnp.argmin(d2), 1)
+                    ipred = i_spl + jnp.where(dest1[2] > 0,
+                                              SPL_IPRED_LAST, SPL_IPRED)
+                    ip = jnp.minimum(ipred, SPL_N_PNTS - 1)
+                    q_i = i_spl.astype(pts6.dtype) / (SPL_N_PNTS - 1.0)
+                    q_p = ip.astype(pts6.dtype) / (SPL_N_PNTS - 1.0)
+                    S2, dS2, d2S2 = spl.spline_eval(
+                        t_sites, pts6, moments, jnp.stack([q_i, q_p]))
+                    dx, dy = dS2[0, 0], dS2[0, 1]
+                    d2x, d2y = d2S2[0, 0], d2S2[0, 1]
+                    R = (jnp.sqrt(dx**2 + dy**2) ** 3
+                         / jnp.abs(dx * d2y - dy * d2x))
+                    v_curve = jnp.maximum(
+                        SPL_V_MIN_STABLE,
+                        jnp.sqrt(SPL_THETA_COMF * g_a * R))
+                    v_spl = jnp.minimum(v_curve, vd1)
+                    seg = S2[1] - S2[0]
+                    sl = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
+                    f_spl = v_spl * seg / jnp.where(sl > 0, sl, 1.0)
+
+            fx = jnp.where(i == 0, vd1 * jnp.cos(s[PSI]),
+                           jnp.where(znav1[2], 0.0, f_spl[0]))
+            fy = jnp.where(i == 0, vd1 * jnp.sin(s[PSI]),
+                           jnp.where(znav1[2], 0.0, f_spl[1]))
+            return (fx, fy, dest1, ptr1, znav1, znavp1, istop1, dstop1)
+
+        fx, fy, dest, ptr, znav, znavp, istop, dstop = jax.vmap(
+            per_agent)(
+            state.s, state.pos_hist, state.i, state.dest, state.destqueue,
+            state.destpointer, state.nq, state.znav, state.znavparams,
+            state.i_stopsignal, state.d_stopsignal, npar, g, t_s)
+        new_state = state.replace(
+            dest=dest, destpointer=ptr, znav=znav, znavparams=znavp,
+            i_stopsignal=istop, d_stopsignal=dstop)
+        return fx, fy, new_state
+
+    return dest_force
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="full",
+                    help="full|nofit|fitonly|noeval20|nohist")
+    ap.add_argument("--agents", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--rep", default="on")
+    args = ap.parse_args()
+
+    import jax
+
+    from __graft_entry__ import _build
+    from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    _, state = _build(args.agents, dtype=np.float32, density=0.02,
+                      hist_len=128, pad_to_block=128)
+    cfg = NeighborConfig(cutoff=50.0, block=128, kb=14, rebuild_every=20,
+                         screen=False,
+                         backend="pallas" if on_tpu else "xla")
+    engine = Engine.create(
+        BicycleParams.create(), MODELS["twod"],
+        dest_force=make_variant(args.variant),
+        neighbors=None if args.rep == "off" else cfg)
+    if args.rep == "off":
+        engine = engine.replace(rep_force=None)
+
+    run = jax.jit(lambda e, s: e.simulate(s, args.steps, record=False)[0])
+
+    def sync(out):
+        jax.block_until_ready(out)
+        return np.asarray(out.s[:4, :4])
+
+    t0 = time.perf_counter()
+    sync(run(engine, state))
+    tc = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe = sync(run(engine, state))
+        dt = min(dt, time.perf_counter() - t0)
+    assert np.all(np.isfinite(probe)), probe
+    print(f"RESULT bisect variant={args.variant} rep={args.rep}: "
+          f"{dt / args.steps * 1e3:.2f} ms/step (compile {tc:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,13 @@ def main():
                     help="off = no pairwise stage at all")
     ap.add_argument("--zoh-lut", type=int, default=0,
                     help="invpendulum: tabulated ZOH propagator size")
+    ap.add_argument("--rebuild", type=int, default=20)
+    ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--kb", type=int, default=14)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--audit", action="store_true",
+                    help="assert the neighbor table is overflow-free at "
+                         "t=0 and t=end (bench.audit_overflow)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +55,8 @@ def main():
     _, state = _build(args.agents, dtype=np.float32, density=args.density,
                       hist_len=args.hist, pad_to_block=128)
     cfg = NeighborConfig(
-        cutoff=50.0, block=128, kb=14, rebuild_every=20, screen=False,
+        cutoff=50.0, block=args.block, kb=args.kb,
+        rebuild_every=args.rebuild, screen=False,
         backend=args.backend if on_tpu else "xla")
     if args.model == "invpendulum":
         params = InvPendulumBicycleParams.create(zoh_lut=args.zoh_lut)
@@ -70,8 +77,18 @@ def main():
         return np.asarray(out.s[:4, :4])
 
     t0 = time.perf_counter()
-    sync(run(engine, state))
+    out0 = run(engine, state)
+    sync(out0)
     t_compile = time.perf_counter() - t0
+    if args.audit and args.rep == "on":
+        import jax.numpy as jnp  # noqa: F401
+
+        from bench import audit_overflow
+
+        pos0 = np.asarray(jax.device_get(state.s))[:, :2]
+        pos1 = np.asarray(jax.device_get(out0.s))[:, :2]
+        audit_overflow(pos0[:, 0], pos0[:, 1], cfg, "t=0")
+        audit_overflow(pos1[:, 0], pos1[:, 1], cfg, "t=end")
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
