@@ -383,7 +383,7 @@ class NeighborConfig:
 
     def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas",
                  rebuild_every=1, skin=None, v_max=10.0, t_s=0.01,
-                 sub=0, screen=True):
+                 sub=0, screen=True, rebuild_mode="chunked"):
         self.cutoff = float(cutoff)
         self.block = int(block)
         self.kb = int(kb)
@@ -399,10 +399,19 @@ class NeighborConfig:
         # (each screen is a vector->scalar pipeline stall; with the
         # serpentine sort the box-to-box table is already tight)
         self.screen = bool(screen)
+        # how `simulate` amortizes table rebuilds over rebuild_every
+        # steps: "chunked" = nested scan (rebuild at chunk boundaries),
+        # "flat" = ONE flat scan with a lax.cond-gated rebuild and the
+        # cache carried between steps. Same physics; the flat form is
+        # dramatically faster for models with large per-step op graphs
+        # (the spline family: XLA schedules the nested form ~2.3x
+        # slower at N = 1e5 -- see BASELINE.md round 3).
+        self.rebuild_mode = str(rebuild_mode)
 
     def _key(self):
         return (self.cutoff, self.block, self.kb, self.backend,
-                self.rebuild_every, self.skin, self.sub, self.screen)
+                self.rebuild_every, self.skin, self.sub, self.screen,
+                self.rebuild_mode)
 
     def __hash__(self):
         return hash(self._key())
@@ -988,6 +997,10 @@ class Engine(struct.PyTreeNode):
         if k <= 1 or n_steps < k:
             return jax.lax.scan(body, state, None, length=n_steps)
 
+        if getattr(self.neighbors, "rebuild_mode", "chunked") == "flat":
+            return self._simulate_flat(state, n_steps, k, out,
+                                       record, record_forces)
+
         n_chunks, rem = divmod(n_steps, k)
 
         # sorted-resident fast path: agent rows live in cell-sorted order
@@ -998,11 +1011,8 @@ class Engine(struct.PyTreeNode):
         # Requires: no per-step recording of per-agent arrays (aggregated
         # metrics are permutation-invariant), no scripted agents (their
         # replay table is row-indexed), N divisible by the block size.
-        sorted_resident = (
-            self.neighbors is not None and not record and not record_forces
-            and self.scripted is None
-            and self.pair_family != "custom"   # generic path self-sorts
-            and state.n % self.neighbors.block == 0)
+        sorted_resident = _flat_sorted_resident_ok(
+            self, state, record, record_forces)
 
         if sorted_resident:
             def chunk_sr(carry, _):
@@ -1050,6 +1060,62 @@ class Engine(struct.PyTreeNode):
             recs = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b], axis=0), recs, tail)
         return state, recs
+
+
+def _flat_sorted_resident_ok(engine, state, record, record_forces):
+    """Conditions under which agent rows may live in cell-sorted order
+    across a whole run (shared by the chunked and flat simulate paths)."""
+    return (engine.neighbors is not None and not record
+            and not record_forces and engine.scripted is None
+            and engine.pair_family != "custom"
+            and state.n % engine.neighbors.block == 0)
+
+
+def _simulate_flat_impl(self, state: AgentState, n_steps: int, k: int,
+                        out, record, record_forces):
+    """ONE flat lax.scan with a lax.cond-gated table rebuild every k
+    steps and the neighbor cache carried between steps
+    (NeighborConfig(rebuild_mode="flat")). Physics-identical to the
+    nested chunked form; XLA schedules the flat form far better for
+    models with large per-step op graphs (spline family, BASELINE.md
+    round 3). Sorted residency composes: the cond's rebuild branch
+    re-permutes the state and the carried ident column."""
+    sr = _flat_sorted_resident_ok(self, state, record, record_forces)
+
+    cache0 = self.neighbor_cache(state)
+    ident0 = jnp.arange(state.n, dtype=jnp.int32)
+    if sr:
+        state = permute_state(state, cache0[0])
+        ident0 = ident0[cache0[0]]
+
+    def body(carry, t):
+        st, cache, ident = carry
+
+        def rebuild(op):
+            st, ident = op
+            c = self.neighbor_cache(st)
+            if sr:
+                return permute_state(st, c[0]), c, ident[c[0]]
+            return st, c, ident
+
+        def keep(op):
+            st, ident = op
+            return st, cache, ident
+
+        st, cache, ident = jax.lax.cond(
+            (t > 0) & (t % k == 0), rebuild, keep, (st, ident))
+        st, fx, fy = self.step_with_forces(st, cache, presorted=sr)
+        return (st, cache, ident), out(st, fx, fy, cache)
+
+    (state, _, ident), recs = jax.lax.scan(
+        body, (state, cache0, ident0),
+        jnp.arange(n_steps, dtype=jnp.int32))
+    if sr:
+        state = permute_state(state, jnp.argsort(ident))
+    return state, recs
+
+
+Engine._simulate_flat = _simulate_flat_impl
 
 
 _PER_AGENT_FIELDS = (

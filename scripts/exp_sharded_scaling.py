@@ -18,6 +18,14 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run ONE config (with --comm) instead of the sweep")
+    ap.add_argument("--comm", default="allgather")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -32,16 +40,21 @@ def main():
     from cyclistsocialforce_tpu.parallel import (make_mesh, shard_state,
                                                  sharded_simulate_fn)
 
-    n_agents, n_steps = 16_384, 40
+    n_agents, n_steps = 8_192, 10
     _, state = _build(n_agents, dtype=np.float32, density=0.02,
                       hist_len=8, pad_to_block=128)
-    cfg = NeighborConfig(cutoff=50.0, block=64, kb=24, rebuild_every=10,
+    cfg = NeighborConfig(cutoff=50.0, block=64, kb=16, rebuild_every=5,
                          screen=False, backend="xla")
     engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
                            rep_force="twod", neighbors=cfg)
 
-    for n_dev in (1, 2, 4, 8):
-        for comm in ("allgather", "ring"):
+    # one (mesh, comm) per process: re-jitting over different sub-meshes
+    # in one process trips an XLA buffer-count mismatch
+    configs = ([(args.devices, args.comm)] if args.devices
+               else [(d, c) for d in (1, 2, 4, 8)
+                     for c in ("allgather", "ring")])
+    for n_dev, comm in configs:
+        if True:
             mesh = make_mesh(n_dev)
             st = shard_state(state, mesh)
             run = sharded_simulate_fn(engine, mesh, n_steps,

@@ -32,12 +32,18 @@ def main():
     ap.add_argument("--zoh-lut", type=int, default=0,
                     help="invpendulum: tabulated ZOH propagator size")
     ap.add_argument("--rebuild", type=int, default=20)
+    ap.add_argument("--mode", default="chunked",
+                    choices=["chunked", "flat"])
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--kb", type=int, default=14)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--audit", action="store_true",
                     help="assert the neighbor table is overflow-free at "
                          "t=0 and t=end (bench.audit_overflow)")
+    ap.add_argument("--no-sr", action="store_true",
+                    help="disable the sorted-resident fast path (attach "
+                         "an empty ScriptedTraj) while keeping the "
+                         "nested rebuild-chunk scan")
     args = ap.parse_args()
 
     import jax
@@ -57,14 +63,23 @@ def main():
     cfg = NeighborConfig(
         cutoff=50.0, block=args.block, kb=args.kb,
         rebuild_every=args.rebuild, screen=False,
+        rebuild_mode=args.mode,
         backend=args.backend if on_tpu else "xla")
     if args.model == "invpendulum":
         params = InvPendulumBicycleParams.create(zoh_lut=args.zoh_lut)
     else:
         params = BicycleParams.create()
     model = MODELS[args.model]
+    scripted = None
+    if args.no_sr:
+        from cyclistsocialforce_tpu.engine import ScriptedTraj
+
+        scripted = ScriptedTraj.create(state.n, {})
     engine = Engine.create(
-        params, model, dest_force=args.dest,
+        params, model, dest_force=args.dest, scripted=scripted,
+        # bicycle2d defaults to the legacy field; the bench runs it with
+        # the twod field (BASELINE.md) -- keep runs comparable
+        rep_force="twod" if args.model == "bicycle2d" else None,
         neighbors=None if args.rep == "off" else cfg)
     if args.rep == "off":
         engine = engine.replace(rep_force=None)
@@ -99,6 +114,7 @@ def main():
     asps = args.agents * args.steps / dt
     print(f"RESULT model={args.model} backend={args.backend} "
           f"dest={args.dest or model.DEST_FORCE} rep={args.rep} "
+          f"mode={args.mode} rebuild={args.rebuild} sr={not args.no_sr} "
           f"zoh_lut={args.zoh_lut} "
           f"N={args.agents} steps={args.steps}: {ms:.2f} ms/step, "
           f"{asps/1e6:.2f}M agent-steps/s (compile {t_compile:.0f}s)")

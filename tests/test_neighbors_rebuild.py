@@ -54,3 +54,33 @@ def test_rebuild_remainder_steps():
     _, traj = jax.jit(lambda e, s: e.simulate(s, 21))(eng, st)
     assert np.asarray(traj).shape == (21, 64, 8)
     assert np.all(np.isfinite(np.asarray(traj)))
+
+
+def test_flat_rebuild_mode_matches_chunked():
+    """NeighborConfig(rebuild_mode='flat') -- one flat scan with a
+    cond-gated rebuild and the cache carried between steps -- is
+    physics-identical to the nested chunked form (same rebuild steps,
+    same stale tables in between), with and without recording, incl.
+    a non-divisible remainder and the sorted-resident fast path."""
+    st, p = _setup(n=192)
+    kw = dict(cutoff=60.0, block=64, kb=12, backend="xla",
+              rebuild_every=10)
+    chunked = Engine.create(p, MODELS["twod"],
+                            neighbors=NeighborConfig(**kw))
+    flat = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        rebuild_mode="flat", **kw))
+
+    # recorded (gather path both): trajectories must agree exactly
+    _, t1 = jax.jit(lambda e, s: e.simulate(s, 43))(chunked, st)
+    _, t2 = jax.jit(lambda e, s: e.simulate(s, 43))(flat, st)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                               atol=1e-12)
+
+    # unrecorded (sorted-resident in both forms; n=192 = 3 blocks):
+    # final states agree to sort-tie reassociation tolerance
+    f1, _ = jax.jit(lambda e, s: e.simulate(s, 40, record=False))(
+        chunked, st)
+    f2, _ = jax.jit(lambda e, s: e.simulate(s, 40, record=False))(
+        flat, st)
+    np.testing.assert_allclose(np.asarray(f2.s), np.asarray(f1.s),
+                               atol=1e-9)
