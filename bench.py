@@ -193,6 +193,75 @@ def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
     }))
 
 
+def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
+    """Additional model-family metrics (one per subprocess): the spline
+    path-planning models and the stochastic flagship at bench scale.
+
+    Configs follow the BASELINE.md round-3 record: spline-family models
+    disable the sorted-resident fast path (their large per-step op graph
+    schedules ~2.7x slower sorted-resident in long rebuild chunks) and
+    the invpendulum row uses the tabulated ZOH propagator (zoh_lut).
+    """
+    import jax
+
+    from __graft_entry__ import _build
+    from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import (BalancingRiderParams,
+                                               BicycleParams,
+                                               InvPendulumBicycleParams)
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    hist = 8 if row == "stochastic" else 128   # spline lookback needs 128
+    _, state = _build(n_agents, dtype=np.float32, density=density,
+                      hist_len=hist, pad_to_block=BLOCK)
+    cfg = NeighborConfig(
+        cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
+        sub=0, screen=False, backend="pallas" if on_tpu else "xla")
+    if row == "twod":
+        params, model, sr = BicycleParams.create(), MODELS["twod"], False
+        label = ("twod spline-path-planning model (masked not-a-knot "
+                 "spline fit + curvature speed law per agent per step)")
+    elif row == "invpendulum":
+        params = InvPendulumBicycleParams.create(zoh_lut=4096)
+        model, sr = MODELS["invpendulum"], False
+        label = ("invpendulum model (spline dest force + closed-loop "
+                 "5-state roll/steer dynamics, 4096-pt tabulated ZOH "
+                 "propagator)")
+    else:
+        params = BalancingRiderParams.create(
+            stochastic_control_behavior=True, resample_budget=2048,
+            verbose=False)
+        model, sr = MODELS["balancingrider"], True
+        label = ("STOCHASTIC flagship (on-device conditional-GMM pole "
+                 "resampling, budget-compacted, + torque disturbances)")
+    engine = Engine.create(params, model, neighbors=cfg,
+                           sorted_resident=sr)
+    state = prepare(model, params, state)
+
+    run = jax.jit(lambda e, s: e.simulate(s, n_steps, record=False)[0])
+
+    def sync(out):
+        jax.block_until_ready(out)
+        return np.asarray(out.s[:4, :4])
+
+    sync(run(engine, state))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe = sync(run(engine, state))
+        dt = min(dt, time.perf_counter() - t0)
+    assert np.all(np.isfinite(probe)), f"non-finite state: {probe}"
+    asps = n_agents * n_steps / dt
+    print(json.dumps({
+        "metric": f"agent-steps/sec, N={n_agents}, {label}, culled "
+                  f"pairwise field",
+        "value": round(asps, 1),
+        "unit": "agent-steps/sec",
+        "vs_baseline": round(asps / (100.0 * n_agents), 3),
+    }))
+
+
 def main_with_retries(attempts=3):
     """The remote-TPU tunnel intermittently fails with transient ABORTED /
     INVALID_ARGUMENT backend errors (see CLAUDE.md); retry in-process."""
@@ -209,24 +278,33 @@ def main_with_retries(attempts=3):
 
 if __name__ == "__main__":
     if "--heavy" in sys.argv:
-        main_with_retries_heavy = lambda: main_heavy()  # noqa: E731
-        main_with_retries_heavy()
+        main_heavy()
+        sys.exit(0)
+    if "--row" in sys.argv:
+        main_row(sys.argv[sys.argv.index("--row") + 1])
         sys.exit(0)
 
-    # the heavy-model metric prints FIRST (in a SUBPROCESS: the remote
-    # TPU tunnel corrupts long same-process program sequences); the
-    # headline metric prints LAST (the driver parses the final JSON line)
+    # the per-model-family metrics print FIRST (each in a SUBPROCESS:
+    # the remote TPU tunnel corrupts long same-process program
+    # sequences); the headline metric prints LAST (the driver parses
+    # the final JSON line)
     import subprocess
 
-    try:
-        r = subprocess.run([sys.executable, __file__, "--heavy"],
-                           capture_output=True, text=True, timeout=900)
-        if r.returncode == 0 and r.stdout.strip():
-            print(r.stdout.strip())
-        else:
-            print(f"heavy-model bench failed (rc={r.returncode}): "
-                  f"{r.stderr.strip()[-400:]}", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 - secondary metric is best-effort
-        print(f"heavy-model bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    def sub(args, tag, timeout):
+        try:
+            r = subprocess.run([sys.executable, __file__] + args,
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                print(r.stdout.strip())
+            else:
+                print(f"{tag} bench failed (rc={r.returncode}): "
+                      f"{r.stderr.strip()[-400:]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - secondary, best-effort
+            print(f"{tag} bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    sub(["--heavy"], "heavy-model", 900)
+    for row in ("stochastic", "twod", "invpendulum"):
+        sub(["--row", row], row, 900)
     main_with_retries()

@@ -562,6 +562,12 @@ class Engine(struct.PyTreeNode):
     neighbors: Any = struct.field(pytree_node=False, default=None)
     # which named family the culled pack uses ("twod" | "legacy")
     pair_family: str = struct.field(pytree_node=False, default="twod")
+    # opt out of the sorted-resident fast path in `simulate` even when
+    # its structural conditions hold. Models with LARGE per-step op
+    # graphs (the spline family) schedule ~2.7x SLOWER sorted-resident
+    # inside long rebuild chunks (BASELINE.md round-3 bisect) -- for
+    # those, disable this or use NeighborConfig(rebuild_mode="flat").
+    sorted_resident: bool = struct.field(pytree_node=False, default=True)
     # True when every agent's hfov covers the full circle (the reference
     # Vehicle default): the kernels then elide the FOV cone test
     # statically (semantically a no-op, ~6 full-tile ops/pair saved).
@@ -571,7 +577,8 @@ class Engine(struct.PyTreeNode):
     def create(cls, params, model, road=None, dest_force=None,
                rep_force=None, priority_rule: str = "unregulated",
                rep_chunk: int | None = None, scripted=None,
-               rep_reduce=None, combine_forces=None, neighbors=None):
+               rep_reduce=None, combine_forces=None, neighbors=None,
+               sorted_resident: bool = True):
         """Build an engine from a model module (see models/ registry).
 
         `model` provides `step` and default `DEST_FORCE` / `REP_FORCE`
@@ -605,7 +612,8 @@ class Engine(struct.PyTreeNode):
                    priority_p2r=(priority_rule == "p2r"),
                    rep_chunk=rep_chunk, rep_reduce=rep_reduce,
                    combine_forces=combine, neighbors=neighbors,
-                   pair_family=family, full_fov=_hfov_is_full(params))
+                   pair_family=family, sorted_resident=sorted_resident,
+                   full_fov=_hfov_is_full(params))
 
     # ---- one simulation step ----
 
@@ -1065,7 +1073,8 @@ class Engine(struct.PyTreeNode):
 def _flat_sorted_resident_ok(engine, state, record, record_forces):
     """Conditions under which agent rows may live in cell-sorted order
     across a whole run (shared by the chunked and flat simulate paths)."""
-    return (engine.neighbors is not None and not record
+    return (engine.sorted_resident
+            and engine.neighbors is not None and not record
             and not record_forces and engine.scripted is None
             and engine.pair_family != "custom"
             and state.n % engine.neighbors.block == 0)

@@ -70,13 +70,9 @@ def main():
     else:
         params = BicycleParams.create()
     model = MODELS[args.model]
-    scripted = None
-    if args.no_sr:
-        from cyclistsocialforce_tpu.engine import ScriptedTraj
-
-        scripted = ScriptedTraj.create(state.n, {})
     engine = Engine.create(
-        params, model, dest_force=args.dest, scripted=scripted,
+        params, model, dest_force=args.dest,
+        sorted_resident=not args.no_sr,
         # bicycle2d defaults to the legacy field; the bench runs it with
         # the twod field (BASELINE.md) -- keep runs comparable
         rep_force="twod" if args.model == "bicycle2d" else None,

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--steps", type=int, default=240)
     ap.add_argument("--density", type=float, default=0.02)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-sr", action="store_true")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="deterministic flagship (gains_lut) instead of "
+                         "stochastic")
     args = ap.parse_args()
 
     import jax
@@ -41,10 +45,15 @@ def main():
         cutoff=50.0, block=128, kb=14, rebuild_every=20, screen=False,
         backend="pallas" if on_tpu else "xla")
     model = MODELS["balancingrider"]
-    params = BalancingRiderParams.create(
-        stochastic_control_behavior=True,
-        resample_budget=args.budget, verbose=False)
-    engine = Engine.create(params, model, neighbors=cfg)
+    if args.deterministic:
+        params = BalancingRiderParams.create(
+            gains_lut=args.gains_lut or 4096, verbose=False)
+    else:
+        params = BalancingRiderParams.create(
+            stochastic_control_behavior=True,
+            resample_budget=args.budget, verbose=False)
+    engine = Engine.create(params, model, neighbors=cfg,
+                           sorted_resident=not args.no_sr)
     state = model.prepare(engine.params, state)
 
     run = jax.jit(lambda e, s: e.simulate(s, args.steps, record=False)[0])
@@ -64,7 +73,8 @@ def main():
     assert np.all(np.isfinite(probe)), probe
     ms = dt / args.steps * 1e3
     asps = args.agents * args.steps / dt
-    print(f"RESULT stochastic budget={args.budget} "
+    print(f"RESULT {'det' if args.deterministic else 'stochastic'} "
+          f"budget={args.budget} sr={not args.no_sr} "
           f"N={args.agents} steps={args.steps}: {ms:.2f} ms/step, "
           f"{asps/1e6:.2f}M agent-steps/s (compile {t_compile:.0f}s)")
 
