@@ -364,10 +364,10 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
         # rebuild chunk, so the per-step [npad, 16] pack gather and
         # force scatter of the culled pair stage disappear; original
         # local row order is restored from the carried ident column.
-        sorted_resident = (
-            engine.neighbors is not None and not record
-            and engine.pair_family != "custom"
-            and lstate.n % engine.neighbors.block == 0)
+        from cyclistsocialforce_tpu.engine import _flat_sorted_resident_ok
+
+        sorted_resident = _flat_sorted_resident_ok(
+            engine, lstate, record, False)
 
         if sorted_resident:
             from cyclistsocialforce_tpu.engine import permute_state
