@@ -578,7 +578,7 @@ class Engine(struct.PyTreeNode):
                rep_force=None, priority_rule: str = "unregulated",
                rep_chunk: int | None = None, scripted=None,
                rep_reduce=None, combine_forces=None, neighbors=None,
-               sorted_resident: bool = True):
+               sorted_resident: bool | None = None):
         """Build an engine from a model module (see models/ registry).
 
         `model` provides `step` and default `DEST_FORCE` / `REP_FORCE`
@@ -607,6 +607,12 @@ class Engine(struct.PyTreeNode):
                 "generic per-receiver-block path preserves arbitrary "
                 "rep_reduce hooks); the Pallas kernels serve the named "
                 "families ('twod', 'legacy')")
+        if sorted_resident is None:
+            # models whose step bodies are large (the spline family)
+            # declare SORTED_RESIDENT = False: the sorted-resident path
+            # schedules ~2.7x slower for them (BASELINE.md round 3)
+            sorted_resident = bool(getattr(model, "SORTED_RESIDENT",
+                                           True))
         return cls(params=params, road=road, scripted=scripted,
                    model_step=model.step, dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),

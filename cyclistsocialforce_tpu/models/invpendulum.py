@@ -36,6 +36,11 @@ from cyclistsocialforce_tpu.utils.angles import limit_angle, thresh
 N_STATES = 6
 REP_FORCE = "twod"
 DEST_FORCE = "spline"
+# large per-step op graph (spline fit/eval chain): the sorted-resident
+# simulate path schedules ~2.7x slower for this model at long rebuild
+# chunks (BASELINE.md round 3) -- engines built on it default to the
+# gather path
+SORTED_RESIDENT = False
 
 WALK_OK_CAP = 1 << 20
 
