@@ -210,10 +210,12 @@ def dest_force_spline(params, state: AgentState):
 
         # ONE masked fixed-size fit instead of a lax.switch over three
         # m-sized fits plus a fourth for the last branch (vmap evaluates
-        # every switch branch for every agent -- ~3.5x this arithmetic)
+        # every switch branch for every agent -- ~3.5x this arithmetic);
+        # the banded (Thomas) form exploits the not-a-knot structure for
+        # ~1/3 the op count of the general masked elimination
         pts6 = jnp.where(is_last, pts_last, pts_nl)
         m_valid = jnp.where(is_last, 4, 2 + fwd)
-        t_sites, moments = spl.fit_masked(pts6, m_valid)
+        t_sites, moments = spl.fit_masked_banded(pts6, m_valid)
 
         # ---- spline force. Positions-only eval at the SPL_N_PNTS
         # uniform parameters feeds the nearest-sample search; the

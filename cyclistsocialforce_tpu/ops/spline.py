@@ -87,8 +87,13 @@ def spline_eval(t, y, M, q):
     # interval index via comparisons + ONE fused one-hot contraction:
     # dynamic gathers of tiny rows (h[k], M[k], ...) serialize under vmap
     # on TPU, and seven separate one-hot takes each materialize a
-    # [Q, m, .] product -- one [m-1, 3+4d] side table cuts the traffic
-    k = jnp.clip(jnp.sum(q[:, None] >= t[None, :], axis=1) - 1, 0, m - 2)
+    # [Q, m, .] product -- one [m-1, 3+4d] side table cuts the traffic.
+    # STRICT inequality: a query exactly at a site evaluates the
+    # interval ENDING there (identical by C2 continuity at interior
+    # sites) -- with the masked fixed-size fits the final valid site
+    # t = 1 must NOT select the zero-moment padding interval beyond it
+    # (its derivatives are garbage)
+    k = jnp.clip(jnp.sum(q[:, None] > t[None, :], axis=1) - 1, 0, m - 2)
     oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
 
     table = jnp.concatenate(
@@ -180,13 +185,103 @@ def fit_masked(pts6, m):
     return t, M
 
 
+def fit_masked_banded(pts6, m):
+    """`fit_masked` through the not-a-knot system's BANDED structure.
+
+    The moment system is tridiagonal in the interior plus one
+    three-entry not-a-knot row at each end; eliminating the end moments
+    analytically leaves a <=4-unknown tridiagonal system solved by an
+    unrolled Thomas sweep -- ~1/3 the vmapped op count of the general
+    masked 6x6 elimination (which is pure bandwidth at N = 1e5).
+    Same returns/degeneracy semantics as `fit_masked`; agreement is
+    pinned by tests/test_parity_twod.py and a direct equivalence test.
+
+    Masking layout: unknowns are the interior moments M[1..m-2]
+    (slots 0..3); slot i is live when i <= m - 3. The end rows give
+        M[0]     = p1 M[1]     + p2 M[2]
+        M[m-1]   = q1 M[m-2]   + q2 M[m-3]
+    which fold into the first/last live interior rows.
+    """
+    dtype = pts6.dtype
+    idx = jnp.arange(6)
+    seg = jnp.sqrt(jnp.sum(jnp.diff(pts6, axis=0) ** 2, axis=1))
+    seg = jnp.where(idx[:5] < m - 1, seg, 0.0)
+    cum = jnp.cumsum(seg)
+    total = cum[-1]
+    u = jnp.concatenate([jnp.zeros((1,), dtype), cum]) / total
+    t = jnp.where(idx < m, u, (idx - m + 2).astype(dtype))
+    h = jnp.diff(t)                                              # [5]
+
+    # end-moment relations from the two not-a-knot rows
+    #   row0:    M0/h0 - (1/h0 + 1/h1) M1 + M2/h1 = 0
+    p1 = (h[0] + h[1]) / h[1]            # = h0 (1/h0 + 1/h1)
+    p2 = -h[0] / h[1]
+    #   row m-1: M[m-3]/h[m-3] - (1/h[m-3] + 1/h[m-2]) M[m-2]
+    #            + M[m-1]/h[m-2] = 0
+    def at(v, k):                         # one-hot take from [5] h-vector
+        return jnp.sum(jnp.where(jnp.arange(5) == k, v, 0.0))
+
+    h_m3 = at(h, m - 3)
+    h_m2 = at(h, m - 2)
+    q1 = (h_m3 + h_m2) / h_m3            # coeff of M[m-2]
+    q2 = -h_m2 / h_m3                    # coeff of M[m-3]
+
+    # interior rows i = 1..m-2 (unknown slots s = i-1 = 0..m-3):
+    #   h[i-1]/6 M[i-1] + (h[i-1]+h[i])/3 M[i] + h[i]/6 M[i+1] = dd[i]
+    dd = ((pts6[2:] - pts6[1:-1]) / h[1:, None]
+          - (pts6[1:-1] - pts6[:-2]) / h[:-1, None])             # [4, 2]
+
+    live = idx[:4] <= m - 3                                      # [4]
+    a = jnp.where(live, h[:4] / 6.0, 0.0)        # sub-diag (M[i-1])
+    b = jnp.where(live, (h[:4] + h[1:5]) / 3.0, 1.0)
+    c = jnp.where(live, h[1:5] / 6.0, 0.0)       # super-diag (M[i+1])
+    d = jnp.where(live[:, None], dd, 0.0)
+
+    # fold the end relations into the first and last LIVE rows:
+    #   slot 0 (i = 1): M0 = p1 M1 + p2 M2 -> b0 += a0 p1, c0 += a0 p2
+    #   slot m-3:       M[m-1] = q1 M[m-2] + q2 M[m-3]
+    #                   -> b_last += c_last q1, a_last += c_last q2
+    is_last = idx[:4] == m - 3
+    b = b.at[0].add(a[0] * p1)
+    c = c.at[0].add(a[0] * p2)
+    b = b + jnp.where(is_last, c * q1, 0.0)
+    a = a + jnp.where(is_last, c * q2, 0.0)
+    c = jnp.where(is_last, 0.0, c)
+    a = a.at[0].set(0.0)
+
+    # unrolled Thomas sweep over the 4 slots (dead slots are identity)
+    cp0 = c[0] / b[0]
+    dp0 = d[0] / b[0]
+    cp1 = c[1] / (b[1] - a[1] * cp0)
+    dp1 = (d[1] - a[1] * dp0) / (b[1] - a[1] * cp0)
+    cp2 = c[2] / (b[2] - a[2] * cp1)
+    dp2 = (d[2] - a[2] * dp1) / (b[2] - a[2] * cp1)
+    dp3 = (d[3] - a[3] * dp2) / (b[3] - a[3] * cp2)
+    m3 = dp3
+    m2 = dp2 - cp2 * m3
+    m1 = dp1 - cp1 * m2
+    m0 = dp0 - cp0 * m1
+    Mi = jnp.stack([m0, m1, m2, m3])                             # [4, 2]
+    Mi = jnp.where(live[:, None], Mi, 0.0)
+
+    M = jnp.zeros((6, 2), dtype).at[1:5].set(Mi)
+    M = M.at[0].set(p1 * M[1] + p2 * M[2])
+    # M[m-1] = q1 M[m-2] + q2 M[m-3] via one-hot scatter
+    M_m2 = jnp.sum(jnp.where((idx == m - 2)[:, None], M, 0.0), axis=0)
+    M_m3 = jnp.sum(jnp.where((idx == m - 3)[:, None], M, 0.0), axis=0)
+    M_end = q1 * M_m2 + q2 * M_m3
+    M = jnp.where((idx == m - 1)[:, None], M_end[None, :], M)
+    return t, M
+
+
 def eval_positions(t, y, M, q):
     """Positions S [Q, d] only (no derivatives) -- the cheap pass that
     feeds the nearest-sample search of the last-destination branch."""
     m = t.shape[0]
     d = y.shape[1]
     h = jnp.diff(t)
-    k = jnp.clip(jnp.sum(q[:, None] >= t[None, :], axis=1) - 1, 0, m - 2)
+    # strict inequality: see spline_eval (padding-interval exclusion)
+    k = jnp.clip(jnp.sum(q[:, None] > t[None, :], axis=1) - 1, 0, m - 2)
     oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
     table = jnp.concatenate(
         [h[:, None], t[1:, None], t[:-1, None],
