@@ -290,19 +290,24 @@ if __name__ == "__main__":
     # the final JSON line)
     import subprocess
 
-    def sub(args, tag, timeout):
-        try:
-            r = subprocess.run([sys.executable, __file__] + args,
-                               capture_output=True, text=True,
-                               timeout=timeout)
-            if r.returncode == 0 and r.stdout.strip():
-                print(r.stdout.strip())
-            else:
-                print(f"{tag} bench failed (rc={r.returncode}): "
-                      f"{r.stderr.strip()[-400:]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 - secondary, best-effort
-            print(f"{tag} bench failed: {type(e).__name__}: {e}",
+    def sub(args, tag, timeout, attempts=2):
+        # the tunnel intermittently hangs whole runs (CLAUDE.md):
+        # one retry in a fresh subprocess recovers those
+        for k in range(attempts):
+            try:
+                r = subprocess.run([sys.executable, __file__] + args,
+                                   capture_output=True, text=True,
+                                   timeout=timeout)
+                if r.returncode == 0 and r.stdout.strip():
+                    print(r.stdout.strip())
+                    return
+                err = f"rc={r.returncode}: {r.stderr.strip()[-400:]}"
+            except Exception as e:  # noqa: BLE001 - secondary metric
+                err = f"{type(e).__name__}: {e}"
+            print(f"{tag} bench attempt {k + 1} failed ({err})",
                   file=sys.stderr)
+        print(f"{tag} bench failed after {attempts} attempts",
+              file=sys.stderr)
 
     sub(["--heavy"], "heavy-model", 900)
     for row in ("stochastic", "twod", "invpendulum"):

@@ -408,6 +408,10 @@ class NeighborConfig:
         # dramatically faster for models with large per-step op graphs
         # (the spline family: XLA schedules the nested form ~2.3x
         # slower at N = 1e5 -- see BASELINE.md round 3).
+        if rebuild_mode not in ("chunked", "flat"):
+            raise ValueError(
+                f"rebuild_mode must be 'chunked' or 'flat', got "
+                f"{rebuild_mode!r}")
         self.rebuild_mode = str(rebuild_mode)
 
     def _key(self):

@@ -75,41 +75,62 @@ def notaknot_moments(t, y):
     return solve_small(A, rhs, pivot=False)
 
 
+def _masked_sites(pts6, m):
+    """Shared masked-fit preamble: chord sites t [6] (padded sites
+    continue increasing past 1 so the interval search never selects
+    them) and interval widths h [5] for a runtime valid count m."""
+    dtype = pts6.dtype
+    idx = jnp.arange(6)
+    seg = jnp.sqrt(jnp.sum(jnp.diff(pts6, axis=0) ** 2, axis=1))
+    seg = jnp.where(idx[:5] < m - 1, seg, 0.0)
+    cum = jnp.cumsum(seg)
+    total = cum[-1]                     # = chord length of the valid run
+    u = jnp.concatenate([jnp.zeros((1,), dtype), cum]) / total
+    t = jnp.where(idx < m, u, (idx - m + 2).astype(dtype))
+    return t, jnp.diff(t)
+
+
+def _interval_pieces(t, y, M, q):
+    """Interval selection shared by spline_eval / eval_positions.
+
+    Index via comparisons + ONE fused one-hot contraction: dynamic
+    gathers of tiny rows (h[k], M[k], ...) serialize under vmap on TPU,
+    and seven separate one-hot takes each materialize a [Q, m, .]
+    product -- one [m-1, 3+4d] side table cuts the traffic. STRICT
+    inequality: a query exactly at a site evaluates the interval ENDING
+    there (identical by C2 continuity at interior sites) -- with the
+    masked fixed-size fits the final valid site t = 1 must NOT select
+    the zero-moment padding interval beyond it (its derivatives are
+    garbage).
+
+    Returns (hk [Q,1], t1, t2, Mk, Mk1, yk, yk1).
+    """
+    m = t.shape[0]
+    d = y.shape[1]
+    h = jnp.diff(t)
+    k = jnp.clip(jnp.sum(q[:, None] > t[None, :], axis=1) - 1, 0, m - 2)
+    oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
+    table = jnp.concatenate(
+        [h[:, None], t[1:, None], t[:-1, None],
+         M[:-1], M[1:], y[:-1], y[1:]], axis=1)      # [m-1, 3 + 4d]
+    sel = jnp.sum(oh[:, :, None] * table[None, :, :], axis=1)
+    hk = sel[:, 0:1]
+    t1 = sel[:, 1:2] - q[:, None]        # distance to right site
+    t2 = q[:, None] - sel[:, 2:3]
+    Mk, Mk1 = sel[:, 3:3 + d], sel[:, 3 + d:3 + 2 * d]
+    yk, yk1 = sel[:, 3 + 2 * d:3 + 3 * d], sel[:, 3 + 3 * d:3 + 4 * d]
+    return hk, t1, t2, Mk, Mk1, yk, yk1
+
+
 def spline_eval(t, y, M, q):
     """Evaluate the cubic spline (sites t [m], values y [m, d], moments M)
     and its first two derivatives at queries q [Q].
 
     Returns (S, dS, d2S), each [Q, d].
     """
-    m = t.shape[0]
-    d = y.shape[1]
-    h = jnp.diff(t)
-    # interval index via comparisons + ONE fused one-hot contraction:
-    # dynamic gathers of tiny rows (h[k], M[k], ...) serialize under vmap
-    # on TPU, and seven separate one-hot takes each materialize a
-    # [Q, m, .] product -- one [m-1, 3+4d] side table cuts the traffic.
-    # STRICT inequality: a query exactly at a site evaluates the
-    # interval ENDING there (identical by C2 continuity at interior
-    # sites) -- with the masked fixed-size fits the final valid site
-    # t = 1 must NOT select the zero-moment padding interval beyond it
-    # (its derivatives are garbage)
-    k = jnp.clip(jnp.sum(q[:, None] > t[None, :], axis=1) - 1, 0, m - 2)
-    oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
-
-    table = jnp.concatenate(
-        [h[:, None], t[1:, None], t[:-1, None],
-         M[:-1], M[1:], y[:-1], y[1:]], axis=1)      # [m-1, 3 + 4d]
-    sel = jnp.sum(oh[:, :, None] * table[None, :, :], axis=1)  # [Q, 3+4d]
-
-    hk = sel[:, 0:1]
-    t1 = sel[:, 1:2] - q[:, None]        # distance to right site
-    t2 = q[:, None] - sel[:, 2:3]
-    Mk, Mk1 = sel[:, 3:3 + d], sel[:, 3 + d:3 + 2 * d]
-    yk, yk1 = sel[:, 3 + 2 * d:3 + 3 * d], sel[:, 3 + 3 * d:3 + 4 * d]
-
+    hk, t1, t2, Mk, Mk1, yk, yk1 = _interval_pieces(t, y, M, q)
     a = yk / hk - Mk * hk / 6.0
     b = yk1 / hk - Mk1 * hk / 6.0
-
     S = (Mk * t1**3 + Mk1 * t2**3) / (6.0 * hk) + a * t1 + b * t2
     dS = (-Mk * t1**2 + Mk1 * t2**2) / (2.0 * hk) - a + b
     d2S = (Mk * t1 + Mk1 * t2) / hk
@@ -142,13 +163,7 @@ def fit_masked(pts6, m):
     """
     dtype = pts6.dtype
     idx = jnp.arange(6)
-    seg = jnp.sqrt(jnp.sum(jnp.diff(pts6, axis=0) ** 2, axis=1))   # [5]
-    seg = jnp.where(idx[:5] < m - 1, seg, 0.0)
-    cum = jnp.cumsum(seg)
-    total = cum[-1]                     # = chord length of the valid run
-    u = jnp.concatenate([jnp.zeros((1,), dtype), cum]) / total
-    t = jnp.where(idx < m, u, (idx - m + 2).astype(dtype))
-    h = jnp.diff(t)                                                # [5]
+    t, h = _masked_sites(pts6, m)
 
     inv_h = 1.0 / h
     zero6 = jnp.zeros((6,), dtype)
@@ -204,13 +219,7 @@ def fit_masked_banded(pts6, m):
     """
     dtype = pts6.dtype
     idx = jnp.arange(6)
-    seg = jnp.sqrt(jnp.sum(jnp.diff(pts6, axis=0) ** 2, axis=1))
-    seg = jnp.where(idx[:5] < m - 1, seg, 0.0)
-    cum = jnp.cumsum(seg)
-    total = cum[-1]
-    u = jnp.concatenate([jnp.zeros((1,), dtype), cum]) / total
-    t = jnp.where(idx < m, u, (idx - m + 2).astype(dtype))
-    h = jnp.diff(t)                                              # [5]
+    t, h = _masked_sites(pts6, m)
 
     # end-moment relations from the two not-a-knot rows
     #   row0:    M0/h0 - (1/h0 + 1/h1) M1 + M2/h1 = 0
@@ -277,21 +286,7 @@ def fit_masked_banded(pts6, m):
 def eval_positions(t, y, M, q):
     """Positions S [Q, d] only (no derivatives) -- the cheap pass that
     feeds the nearest-sample search of the last-destination branch."""
-    m = t.shape[0]
-    d = y.shape[1]
-    h = jnp.diff(t)
-    # strict inequality: see spline_eval (padding-interval exclusion)
-    k = jnp.clip(jnp.sum(q[:, None] > t[None, :], axis=1) - 1, 0, m - 2)
-    oh = (k[:, None] == jnp.arange(m - 1)[None, :]).astype(t.dtype)
-    table = jnp.concatenate(
-        [h[:, None], t[1:, None], t[:-1, None],
-         M[:-1], M[1:], y[:-1], y[1:]], axis=1)        # [m-1, 3 + 4d]
-    sel = jnp.sum(oh[:, :, None] * table[None, :, :], axis=1)
-    hk = sel[:, 0:1]
-    t1 = sel[:, 1:2] - q[:, None]
-    t2 = q[:, None] - sel[:, 2:3]
-    Mk, Mk1 = sel[:, 3:3 + d], sel[:, 3 + d:3 + 2 * d]
-    yk, yk1 = sel[:, 3 + 2 * d:3 + 3 * d], sel[:, 3 + 3 * d:3 + 4 * d]
+    hk, t1, t2, Mk, Mk1, yk, yk1 = _interval_pieces(t, y, M, q)
     a = yk / hk - Mk * hk / 6.0
     b = yk1 / hk - Mk1 * hk / 6.0
     return (Mk * t1**3 + Mk1 * t2**3) / (6.0 * hk) + a * t1 + b * t2

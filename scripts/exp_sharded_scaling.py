@@ -49,11 +49,25 @@ def main():
                            rep_force="twod", neighbors=cfg)
 
     # one (mesh, comm) per process: re-jitting over different sub-meshes
-    # in one process trips an XLA buffer-count mismatch
-    configs = ([(args.devices, args.comm)] if args.devices
-               else [(d, c) for d in (1, 2, 4, 8)
-                     for c in ("allgather", "ring")])
-    for n_dev, comm in configs:
+    # in one process trips an XLA buffer-count mismatch -- the sweep
+    # therefore re-invokes this script once per config
+    if not args.devices:
+        import subprocess
+
+        for d in (1, 2, 4, 8):
+            for c in ("allgather", "ring"):
+                r = subprocess.run(
+                    [sys.executable, __file__, "--devices", str(d),
+                     "--comm", c], capture_output=True, text=True,
+                    timeout=900)
+                out = [ln for ln in r.stdout.splitlines()
+                       if ln.startswith("RESULT")]
+                print(out[0] if out
+                      else f"devices={d} comm={c} FAILED: "
+                           f"{r.stderr.strip()[-200:]}")
+        return
+
+    for n_dev, comm in [(args.devices, args.comm)]:
         if True:
             mesh = make_mesh(n_dev)
             st = shard_state(state, mesh)

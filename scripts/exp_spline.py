@@ -41,9 +41,9 @@ def main():
                     help="assert the neighbor table is overflow-free at "
                          "t=0 and t=end (bench.audit_overflow)")
     ap.add_argument("--no-sr", action="store_true",
-                    help="disable the sorted-resident fast path (attach "
-                         "an empty ScriptedTraj) while keeping the "
-                         "nested rebuild-chunk scan")
+                    help="disable the sorted-resident fast path "
+                         "(Engine.create(sorted_resident=False)) while "
+                         "keeping the nested rebuild-chunk scan")
     args = ap.parse_args()
 
     import jax

@@ -62,13 +62,18 @@ def test_flat_rebuild_mode_matches_chunked():
     physics-identical to the nested chunked form (same rebuild steps,
     same stale tables in between), with and without recording, incl.
     a non-divisible remainder and the sorted-resident fast path."""
+    from cyclistsocialforce_tpu.engine import _flat_sorted_resident_ok
+
     st, p = _setup(n=192)
     kw = dict(cutoff=60.0, block=64, kb=12, backend="xla",
               rebuild_every=10)
-    chunked = Engine.create(p, MODELS["twod"],
+    # sorted_resident=True forced: MODELS['twod'] defaults it off, but
+    # this test must cover the flat path's cond-gated permute branch
+    chunked = Engine.create(p, MODELS["twod"], sorted_resident=True,
                             neighbors=NeighborConfig(**kw))
-    flat = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
-        rebuild_mode="flat", **kw))
+    flat = Engine.create(p, MODELS["twod"], sorted_resident=True,
+                         neighbors=NeighborConfig(
+                             rebuild_mode="flat", **kw))
 
     # recorded (gather path both): trajectories must agree exactly
     _, t1 = jax.jit(lambda e, s: e.simulate(s, 43))(chunked, st)
@@ -76,11 +81,22 @@ def test_flat_rebuild_mode_matches_chunked():
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
                                atol=1e-12)
 
-    # unrecorded (sorted-resident in both forms; n=192 = 3 blocks):
-    # final states agree to sort-tie reassociation tolerance
+    # unrecorded: BOTH forms take the sorted-resident branch
+    # (n = 192 = 3 blocks); final states agree to sort-tie
+    # reassociation tolerance
+    assert _flat_sorted_resident_ok(flat, st, False, False)
     f1, _ = jax.jit(lambda e, s: e.simulate(s, 40, record=False))(
         chunked, st)
     f2, _ = jax.jit(lambda e, s: e.simulate(s, 40, record=False))(
         flat, st)
     np.testing.assert_allclose(np.asarray(f2.s), np.asarray(f1.s),
+                               atol=1e-9)
+
+    # and the gather-path flat variant (sorted residency off) agrees too
+    flat_nosr = Engine.create(p, MODELS["twod"], sorted_resident=False,
+                              neighbors=NeighborConfig(
+                                  rebuild_mode="flat", **kw))
+    f3, _ = jax.jit(lambda e, s: e.simulate(s, 40, record=False))(
+        flat_nosr, st)
+    np.testing.assert_allclose(np.asarray(f3.s), np.asarray(f1.s),
                                atol=1e-9)

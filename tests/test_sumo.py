@@ -270,6 +270,9 @@ def test_recorded_trace_real_traci_surface(net):
         # pushed angle is in SUMO convention: east ~ 90 deg
         assert 0.0 <= angle < 360.0
         assert abs(angle - 90.0) < 30.0
+
+
+def test_fake_traci_moves_vehicles(net):
     t = FakeTraCI(net, step_length=0.1)
     t.add_vehicle("b0", ("EW", "EE"), speed=4.0)
     assert t.simulation.getMinExpectedNumber() == 1
