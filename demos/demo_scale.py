@@ -31,20 +31,42 @@ def main():
                     help="dense O(N^2) instead of neighbor culling")
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla", "interpret"])
+    ap.add_argument("--model", default="bicycle2d",
+                    choices=["bicycle2d", "twod", "invpendulum",
+                             "balancingrider"],
+                    help="dynamics model (spline models use the "
+                         "BASELINE.md round-3 configs: gather path, "
+                         "zoh_lut for invpendulum)")
     args = ap.parse_args()
+
+    from cyclistsocialforce_tpu.models import prepare
+    from cyclistsocialforce_tpu.params import (BalancingRiderParams,
+                                               InvPendulumBicycleParams)
 
     # the bench configuration (see BASELINE.md): serpentine-sorted
     # block=128 tables, capacity kb=14 (overflow-audited at 0.02/m^2),
     # 50 m cutoff (dropped force < 1e-4), no runtime screen
+    spline = args.model in ("twod", "invpendulum")
     _, state = _build(args.agents, dtype=np.float32,
-                      density=args.density, hist_len=8,
+                      density=args.density,
+                      hist_len=128 if spline else 8,
                       pad_to_block=None if args.dense else 128)
     nb = None if args.dense else NeighborConfig(
         cutoff=50.0, block=128, kb=14, backend=args.backend,
         rebuild_every=20, screen=False)
+    if args.model == "balancingrider":
+        params = BalancingRiderParams.create(gains_lut=4096,
+                                             verbose=False)
+    elif args.model == "invpendulum":
+        params = InvPendulumBicycleParams.create(zoh_lut=4096)
+    else:
+        params = BicycleParams.create()
+    model = MODELS[args.model]
     eng = Engine.create(
-        BicycleParams.create(), MODELS["bicycle2d"], rep_force="twod",
+        params, model,
+        rep_force="twod" if args.model == "bicycle2d" else None,
         neighbors=nb, rep_chunk=1000 if args.dense else None)
+    state = prepare(model, params, state)
 
     run = jax.jit(lambda e, s: e.simulate(s, args.steps,
                                           record=False)[0])
