@@ -315,3 +315,50 @@ def test_sharded_sorted_resident_matches_gather_path():
     # difference, bounded far below physics tolerance
     np.testing.assert_allclose(np.asarray(fin_sr.s),
                                np.asarray(fin_rec.s), atol=1e-6)
+
+
+def test_sharded_spline_family_matches_single_device():
+    """The spline destination force (twod) and the invpendulum dynamics
+    (zoh_lut path) are purely local stages -- sharded runs must match
+    the single-device run bit-level (allgather schedule)."""
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import (InvPendulumBicycleParams,
+                                               as_population)
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 4 * n_dev
+    rng = np.random.default_rng(9)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 60, n)
+    s0[:, 1] = rng.uniform(0, 60, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64, hist_len=128)
+    dst = np.c_[s0[:, 0] + 80, s0[:, 1], np.zeros(n)]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(
+                        jnp.asarray(dst)))
+
+    # params stay population-shared: engine params ride the shard_map
+    # closure (replicated), so per-agent arrays would not shard
+    del as_population
+    for model_name, p in (
+            ("twod", InvPendulumBicycleParams.create()),
+            ("invpendulum", InvPendulumBicycleParams.create(
+                zoh_lut=1024))):
+        pp = p
+        m = MODELS[model_name]
+        sti = prepare(m, pp, st)
+        eng = Engine.create(pp, m)
+        ref, _ = jax.jit(lambda e, s: e.simulate(s, 30, record=False))(
+            eng, sti)
+        mesh = make_mesh()
+        run = sharded_simulate_fn(eng, mesh, 30, record=False)
+        out, _ = run(shard_state(sti, mesh))
+        np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                                   atol=1e-12, err_msg=model_name)
