@@ -284,11 +284,21 @@ if __name__ == "__main__":
         main_row(sys.argv[sys.argv.index("--row") + 1])
         sys.exit(0)
 
-    # the per-model-family metrics print FIRST (each in a SUBPROCESS:
-    # the remote TPU tunnel corrupts long same-process program
-    # sequences); the headline metric prints LAST (the driver parses
-    # the final JSON line)
+    # ORDER: the headline runs (and prints) FIRST so that even a
+    # timeout-truncated run leaves the headline as the last complete
+    # JSON line; the per-model-family metrics follow (each in a
+    # SUBPROCESS: the remote TPU tunnel corrupts long same-process
+    # program sequences); the headline line is RE-PRINTED at the end
+    # (the driver parses the final JSON line).
+    import contextlib
+    import io
     import subprocess
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main_with_retries()
+    headline_line = buf.getvalue().strip()
+    print(headline_line, flush=True)
 
     def sub(args, tag, timeout, attempts=2):
         # the tunnel intermittently hangs whole runs (CLAUDE.md):
@@ -312,4 +322,4 @@ if __name__ == "__main__":
     sub(["--heavy"], "heavy-model", 900)
     for row in ("stochastic", "twod", "invpendulum"):
         sub(["--row", row], row, 900)
-    main_with_retries()
+    print(headline_line, flush=True)
