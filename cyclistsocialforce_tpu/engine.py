@@ -165,6 +165,26 @@ def dest_force_spline(params, state: AgentState):
     g = jnp.broadcast_to(jnp.asarray(params.g), (n,))
     t_s = jnp.broadcast_to(jnp.asarray(params.t_s), (n,))
     hist = state.hist_len
+    # the last-destination branch reads the position from floor(1/t_s)
+    # steps back (reference vehicle.py:1486): a shorter ring buffer
+    # silently wraps to STALE samples. hist is static; warn at trace
+    # time when t_s is concrete (make_state(hist_len=128) is safe for
+    # the default t_s = 0.01).
+    try:
+        lookback_c = int(np.floor(1.0 / float(np.asarray(params.t_s))))
+        if hist < lookback_c + 1:
+            import warnings
+
+            warnings.warn(
+                f"spline destination force: pos_hist ring buffer "
+                f"(hist_len={hist}) is shorter than the 1 s lookback "
+                f"({lookback_c + 1} samples at t_s="
+                f"{float(np.asarray(params.t_s))}); the last-destination "
+                f"spline will read wrapped (stale) samples -- build the "
+                f"state with make_state(hist_len>={lookback_c + 1})",
+                stacklevel=2)
+    except (TypeError, ValueError):   # traced/per-agent t_s: skip
+        pass
 
     def per_agent(s, pos_hist, i, dest, dq, ptr, nq, znav, znavp,
                   istop, dstop, p, g_a, ts_a):
