@@ -171,7 +171,9 @@ def dest_force_spline(params, state: AgentState):
     # time when t_s is concrete (make_state(hist_len=128) is safe for
     # the default t_s = 0.01).
     try:
-        lookback_c = int(np.floor(1.0 / float(np.asarray(params.t_s))))
+        # t_s may be per-agent ([n]) after as_population -- every agent
+        # shares the same sampling time, so row 0 is representative
+        lookback_c = int(np.floor(1.0 / float(np.asarray(params.t_s).flat[0])))
         if hist < lookback_c + 1:
             import warnings
 
