@@ -45,6 +45,22 @@ import numpy as np
 BLOCK, KB, CUTOFF, REBUILD = 128, 14, 50.0, 20
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the bench-scale scans compile for
+    2-6 minutes through the remote tunnel; caching the serialized
+    executables under /tmp makes repeat runs (retries, the driver's run
+    after a validation run) start in seconds. Guarded: any cache failure
+    falls back to a normal compile."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/csf_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # noqa: BLE001 - cache is best-effort
+        print(f"compile cache unavailable ({e}); compiling fresh",
+              file=sys.stderr)
+
+
 def audit_overflow(x, y, cfg, tag):
     """Assert the neighbor table does not exceed kb capacity (which would
     silently drop the farthest blocks' forces). Runs on the host CPU
@@ -72,6 +88,7 @@ def audit_overflow(x, y, cfg, tag):
 
 
 def main(n_agents=100_000, n_steps=240, density=0.02):
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -143,6 +160,7 @@ def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
     reference dynamics.py:602-706; README.md:79 "not stable enough for
     crowded scenarios"). Same population, same culled pair stage.
     """
+    _enable_compile_cache()
     import jax
 
     from __graft_entry__ import _build
@@ -202,6 +220,7 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
     schedules ~2.7x slower sorted-resident in long rebuild chunks) and
     the invpendulum row uses the tabulated ZOH propagator (zoh_lut).
     """
+    _enable_compile_cache()
     import jax
 
     from __graft_entry__ import _build
