@@ -250,10 +250,11 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
     else:
         params = BalancingRiderParams.create(
             stochastic_control_behavior=True, resample_budget=2048,
-            verbose=False)
+            gains_lut=4096, verbose=False)
         model, sr = MODELS["balancingrider"], True
         label = ("STOCHASTIC flagship (on-device conditional-GMM pole "
-                 "resampling, budget-compacted, + torque disturbances)")
+                 "resampling, budget-compacted, 4096-pt Ackermann-basis "
+                 "gain table, + torque disturbances)")
     engine = Engine.create(params, model, neighbors=cfg,
                            sorted_resident=sr)
     state = prepare(model, params, state)

@@ -205,8 +205,30 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     else:
         changed = v_new != v_old
         feats, state = _pole_features(params, state, v_mid, n, gate=changed)
-        K_new = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-            params, A0, A1, A2, B, feats, v_mid)
+        if getattr(params, "br_ackermann_lut", None) is not None:
+            # tabulated Ackermann BASIS (params.create gains_lut=G with
+            # stochastic behavior): K is linear in the characteristic
+            # coefficients, so interpolate M(v_mid) [6, 5] on the speed
+            # grid and contract with the agent's exact charpoly(feats)
+            # -- replaces the dense per-agent placement (~5x5 powers +
+            # solve per agent per step) with a 30-value lookup
+            tab, v0, dv = params.br_ackermann_lut
+            # gather FLAT [G, 30] rows: the same gather on the [G, 6, 5]
+            # table is 4.5x slower on TPU (2.73 vs 0.61 ms at N = 1e5 --
+            # the 3-D row layout defeats the vectorized gather; see
+            # scripts/exp_acklut.py)
+            tab = jnp.asarray(tab, dtype=dtype).reshape(tab.shape[0], 30)
+            t = (v_mid - jnp.asarray(v0, dtype)) / jnp.asarray(dv, dtype)
+            t = jnp.clip(t, 0.0, tab.shape[0] - 1.0)
+            i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0,
+                          tab.shape[0] - 2)
+            w = (t - i0.astype(dtype))[:, None]
+            Mv = (tab[i0] * (1.0 - w) + tab[i0 + 1] * w).reshape(n, 6, 5)
+            coeffs = jax.vmap(charpoly_from_pole_features)(feats)
+            K_new = jnp.sum(coeffs[:, :, None] * Mv, axis=1)
+        else:
+            K_new = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                params, A0, A1, A2, B, feats, v_mid)
         K = jnp.where(changed[:, None], K_new, state.dyn_gains[:, _KX])
 
     # ---- commanded yaw in the bike frame (dynamics.py:652-671)

@@ -112,6 +112,33 @@ def ackermann(A, B, coeffs):
     return r
 
 
+def ackermann_basis(A, B):
+    """Basis of the Ackermann gain as a function of the characteristic
+    coefficients: rows M[k] = (A^T)^(n-k) y for k = 0..n, with
+    y = ctrb(A, B)^-T e_n -- so `ackermann(A, B, coeffs)` equals
+    `coeffs @ M` for ANY monic polynomial (K is linear in the
+    coefficients; see the Horner recursion in `ackermann`). Tabulating
+    M over a speed grid gives per-agent pole placement at lookup cost
+    while the agents' pole features stay exact
+    (params.BalancingRiderParams br_ackermann_lut)."""
+    from cyclistsocialforce_tpu.ops.smallmat import (matvec_small,
+                                                     solve_small)
+
+    B = B.reshape(-1)
+    n = A.shape[0]
+    cols = [B]
+    for _ in range(n - 1):
+        cols.append(matvec_small(A, cols[-1]))
+    ctrb = jnp.stack(cols, axis=1)
+    en = jnp.zeros((n,), dtype=A.dtype).at[-1].set(1.0)
+    y = solve_small(ctrb.T, en)
+    At = A.T
+    rows = [y]
+    for _ in range(n):
+        rows.append(matvec_small(At, rows[-1]))
+    return jnp.stack(rows[::-1], axis=0)     # [n+1, n], M[k] = (A^T)^(n-k) y
+
+
 def place_siso(A, B, poles):
     """Ackermann pole placement for a single-input system.
 

@@ -453,10 +453,18 @@ class BalancingRiderParams(BicycleParams):
     # build time, linearly interpolated per step instead of running the
     # Ackermann placement per agent (see models/balancingrider.py).
     br_gains_lut: Any = None
+    # Stochastic-mode equivalent: the Ackermann gain is LINEAR in the
+    # characteristic-polynomial coefficients, K(v, c) = sum_k c_k M_k(v)
+    # with the basis M_k(v) = (A(v)^T)^(n-k) y(v), y = ctrb(A,B)^-T e_n
+    # (ops.control.ackermann's Horner recursion unrolled) -- so per-agent
+    # pole FEATURES stay exact and only the speed axis is tabulated:
+    # (table [G, 6, 5], v_lo, dv).
+    br_ackermann_lut: Any = None
     # Fields that describe the (single) physical bicycle / behavior model
     # and stay shared across the population in `as_population`.
     POPULATION_SHARED = ("br_A0", "br_A1", "br_A2", "br_B", "br_B_roll",
-                         "polemodel_rt", "br_gains_lut")
+                         "polemodel_rt", "br_gains_lut",
+                         "br_ackermann_lut")
     # stochastic control behavior (reference parameters.py:1376-1411)
     stochastic_control_behavior: bool = struct.field(
         pytree_node=False, default=False)
@@ -556,42 +564,28 @@ class BalancingRiderParams(BicycleParams):
         # functions, so precompute it on a uniform grid and interpolate;
         # max |K_lut - K_exact| ~ (dv)^2 -- pinned by tests)
         lut = None
-        if gains_lut:
-            if stochastic_control_behavior:
-                raise ValueError(
-                    "gains_lut requires deterministic control behavior "
-                    "(stochastic pole features make K depend on more "
-                    "than the speed)")
-            if gains_fixed is None:
-                from cyclistsocialforce_tpu.ops.control import (
-                    ackermann, charpoly_from_pole_features)
-                import jax
-                import jax.numpy as jnp
+        ack_lut = None
+        if gains_lut and gains_fixed is None:
+            import jax
+            import jax.numpy as jnp
 
-                vmr = kw.get("v_max_riding", cls.v_max_riding)
-                v_lo, v_hi = float(pair_lo(vmr)), float(pair_hi(vmr))
-                g = int(gains_lut)
-                vs = np.linspace(v_lo, v_hi, g)
+            vmr = kw.get("v_max_riding", cls.v_max_riding)
+            v_lo, v_hi = float(pair_lo(vmr)), float(pair_hi(vmr))
+            g = int(gains_lut)
+            vs = np.linspace(v_lo, v_hi, g)
 
-                def k_at(v):
-                    A = jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1) \
-                        + v * v * jnp.asarray(A2)
-                    feats = (jnp.asarray(pole_lin)[:, 0]
-                             + jnp.asarray(pole_lin)[:, 1] * v)
-                    return ackermann(A, jnp.asarray(B),
-                                     charpoly_from_pole_features(feats))
+            def _A_at(v):
+                return (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
+                        + v * v * jnp.asarray(A2))
 
-                # build on the host CPU backend: this is a one-time
-                # construction sweep, and tracing/compiling it through a
-                # remote-TPU connection costs minutes for zero benefit
-                with jax.default_device(jax.devices("cpu")[0]):
-                    tab = np.array(jax.vmap(k_at)(jnp.asarray(vs)))
+            def _repair(tab):
                 # the plant is uncontrollable at v = 0 exactly (the yaw
                 # row of A scales with v), so a grid point landing on it
-                # yields a non-finite K -- as does the reference's
+                # yields a non-finite row -- as does the reference's
                 # ct.place. Repair such isolated rows by interpolating
                 # between the nearest finite neighbors.
-                bad = ~np.isfinite(tab).all(axis=1)
+                flat = tab.reshape(tab.shape[0], -1)
+                bad = ~np.isfinite(flat).all(axis=1)
                 if bad.any():
                     good = np.where(~bad)[0]
                     for j in np.where(bad)[0]:
@@ -603,14 +597,46 @@ class BalancingRiderParams(BicycleParams):
                             tab[j] = (1 - t) * tab[a] + t * tab[b]
                         else:
                             tab[j] = tab[lo[-1] if len(lo) else hi[0]]
-                lut = (tab, np.float64(v_lo),
-                       np.float64((v_hi - v_lo) / (g - 1)))
+                return tab
+
+            dv = np.float64((v_hi - v_lo) / (g - 1))
+            # build on the host CPU backend: this is a one-time
+            # construction sweep, and tracing/compiling it through a
+            # remote-TPU connection costs minutes for zero benefit
+            if stochastic_control_behavior:
+                # stochastic mode: per-agent pole features vary, but the
+                # Ackermann gain is LINEAR in the characteristic
+                # coefficients -- tabulate the coefficient BASIS
+                # M(v) [6, 5] so K = charpoly(feats) @ M(v_mid) stays
+                # exact in the features (see ops.control.ackermann_basis)
+                from cyclistsocialforce_tpu.ops.control import \
+                    ackermann_basis
+
+                def m_at(v):
+                    return ackermann_basis(_A_at(v), jnp.asarray(B))
+
+                with jax.default_device(jax.devices("cpu")[0]):
+                    tabm = np.array(jax.vmap(m_at)(jnp.asarray(vs)))
+                ack_lut = (_repair(tabm), np.float64(v_lo), dv)
+            else:
+                from cyclistsocialforce_tpu.ops.control import (
+                    ackermann, charpoly_from_pole_features)
+
+                def k_at(v):
+                    feats = (jnp.asarray(pole_lin)[:, 0]
+                             + jnp.asarray(pole_lin)[:, 1] * v)
+                    return ackermann(_A_at(v), jnp.asarray(B),
+                                     charpoly_from_pole_features(feats))
+
+                with jax.default_device(jax.devices("cpu")[0]):
+                    tab = np.array(jax.vmap(k_at)(jnp.asarray(vs)))
+                lut = (_repair(tab), np.float64(v_lo), dv)
 
         return super().create(
             calib_mode=calib_mode, verbose=verbose,
             br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
             br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
-            br_gains_lut=lut,
+            br_gains_lut=lut, br_ackermann_lut=ack_lut,
             stochastic_control_behavior=bool(stochastic_control_behavior),
             controlparam_resampling_speedthresh=(
                 controlparam_resampling_speedthresh),

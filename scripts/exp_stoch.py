@@ -17,7 +17,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget", type=int, default=0)
     ap.add_argument("--gains-lut", type=int, default=0,
-                    help="only valid for deterministic mode")
+                    help="deterministic: K(v) table; stochastic: "
+                         "Ackermann coefficient-basis table M(v)")
     ap.add_argument("--agents", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=240)
     ap.add_argument("--density", type=float, default=0.02)
@@ -32,6 +33,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/csf_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
 
     from __graft_entry__ import _build
     from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
@@ -51,7 +57,8 @@ def main():
     else:
         params = BalancingRiderParams.create(
             stochastic_control_behavior=True,
-            resample_budget=args.budget, verbose=False)
+            resample_budget=args.budget, gains_lut=args.gains_lut,
+            verbose=False)
     engine = Engine.create(params, model, neighbors=cfg,
                            sorted_resident=not args.no_sr)
     state = model.prepare(engine.params, state)

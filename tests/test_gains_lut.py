@@ -72,11 +72,103 @@ def test_lut_trajectories_match_exact():
     assert dev < 1e-3, dev
 
 
-def test_lut_rejects_stochastic_mode():
-    """Stochastic pole features make K depend on more than the speed."""
-    with pytest.raises(ValueError, match="gains_lut"):
-        BalancingRiderParams.create(gains_lut=256, verbose=False,
-                                    stochastic_control_behavior=True)
+def test_ackermann_basis_identity():
+    """`ackermann(A, B, coeffs)` equals `coeffs @ ackermann_basis(A, B)`
+    for arbitrary monic polynomials: K is linear in the characteristic
+    coefficients (the Horner recursion in ops.control.ackermann), which
+    is what lets stochastic mode tabulate only the speed axis."""
+    from cyclistsocialforce_tpu.models import balancingrider as BR
+    from cyclistsocialforce_tpu.ops.control import (
+        ackermann, ackermann_basis, charpoly_from_pole_features)
+
+    p = BalancingRiderParams.create(verbose=False)
+    A0 = np.asarray(p.br_A0)
+    A1 = np.asarray(p.br_A1)
+    A2 = np.asarray(p.br_A2)
+    B = jnp.asarray(p.br_B)
+    rng = np.random.default_rng(0)
+    for v in (1.0, 3.3, 5.7, 8.2):
+        A = jnp.asarray(A0 + v * A1 + v * v * A2)
+        M = ackermann_basis(A, B)
+        for _ in range(4):
+            c = charpoly_from_pole_features(
+                jnp.asarray(rng.uniform(0.5, 6.0, size=5)))
+            K_exact = ackermann(A, B, c)
+            rel = (jnp.max(jnp.abs(c @ M - K_exact))
+                   / jnp.max(jnp.abs(K_exact)))
+            assert float(rel) < 1e-10, float(rel)
+
+
+def test_stochastic_basis_lut_error_bound():
+    """Stochastic mode + gains_lut tabulates the Ackermann coefficient
+    BASIS M(v) [6, 5] (params.br_ackermann_lut); per-agent gains are
+    charpoly(feats) @ M(v). Relative error below 1e-5 in the stable band
+    [2.5, v_max] for random feature draws (the plant is uncontrollable at
+    v = 0 exactly, like the deterministic table)."""
+    from cyclistsocialforce_tpu.ops.control import (
+        ackermann, charpoly_from_pole_features)
+
+    p = BalancingRiderParams.create(verbose=False)
+    ps = BalancingRiderParams.create(stochastic_control_behavior=True,
+                                     gains_lut=4096, verbose=False)
+    assert ps.br_gains_lut is None
+    tab, v0, dv = ps.br_ackermann_lut
+    assert np.all(np.isfinite(tab))          # v = 0 rows repaired
+    A0 = np.asarray(p.br_A0)
+    A1 = np.asarray(p.br_A1)
+    A2 = np.asarray(p.br_A2)
+    B = jnp.asarray(p.br_B)
+
+    rng = np.random.default_rng(1)
+    worst = 0.0
+    for v in np.linspace(2.5, 10.0, 101):
+        t = np.clip((v - v0) / dv, 0.0, tab.shape[0] - 1.0)
+        i0 = int(np.clip(np.floor(t), 0, tab.shape[0] - 2))
+        Mv = jnp.asarray(tab[i0] * (1 - (t - i0)) + tab[i0 + 1] * (t - i0))
+        A = jnp.asarray(A0 + v * A1 + v * v * A2)
+        for _ in range(3):
+            c = charpoly_from_pole_features(
+                jnp.asarray(rng.uniform(0.5, 6.0, size=5)))
+            K_exact = np.asarray(ackermann(A, B, c))
+            K_lut = np.asarray(c @ Mv)
+            worst = max(worst, np.linalg.norm(K_lut - K_exact)
+                        / np.linalg.norm(K_exact))
+    assert worst < 1e-5, worst
+
+
+def test_stochastic_basis_lut_trajectories_match_exact():
+    """End-to-end: with the same RNG seed (identical pole-feature draws),
+    the basis-LUT and exact stochastic gain paths ride the same
+    trajectories."""
+    rng = np.random.default_rng(5)
+    n = 48
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    m = MODELS["balancingrider"]
+    finals = {}
+    for tag, p in (
+            ("exact", BalancingRiderParams.create(
+                stochastic_control_behavior=True, verbose=False)),
+            ("lut", BalancingRiderParams.create(
+                stochastic_control_behavior=True, gains_lut=4096,
+                verbose=False))):
+        st = make_state(s0, dtype=np.float64, seed=7)
+        st = st.replace(dest=jnp.asarray(dst),
+                        destqueue=st.destqueue.at[:, 0, :].set(
+                            jnp.asarray(dst)))
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 150, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["lut"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
 
 
 def test_invpendulum_zoh_lut_error_bound():
