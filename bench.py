@@ -33,7 +33,10 @@ import numpy as np
 #  * block=128: smallest receiver block the TPU lane width admits -- the
 #    table is tighter than block=256 (1.2k vs 2.1k candidate pairs per
 #    agent), and with no runtime screen the per-program overhead is low
-#  * kb=14: capacity margin 2 over the audited max in-range count (12)
+#  * kb=13: capacity margin 2 over the audited max in-range count (11
+#    under the fine-y serpentine sort, incl. the inactive pad-agent
+#    clump; was 12/kb=14 with cell-granular y keys -- see
+#    ops/neighbors.cell_keys and scripts/exp_hilbert.py)
 #  * cutoff=50 m: dropped-force bound 9e-5 < the 1e-4 parity tolerance
 #  * screen=False: the serpentine-sorted table is tight enough that the
 #    per-tile min-distance screen (a vector->scalar pipeline stall) costs
@@ -42,7 +45,7 @@ import numpy as np
 #  * 240-step horizon: the remote-tunnel dispatch latency (~30-60 ms per
 #    run) is fixed cost -- a longer scan amortizes it out of the
 #    per-step figure (60 -> 240 steps: measured 7.2 -> 6.2 ms/step)
-BLOCK, KB, CUTOFF, REBUILD = 128, 14, 50.0, 20
+BLOCK, KB, CUTOFF, REBUILD = 128, 13, 50.0, 20
 
 
 def _enable_compile_cache():

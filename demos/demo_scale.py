@@ -43,8 +43,8 @@ def main():
     from cyclistsocialforce_tpu.params import (BalancingRiderParams,
                                                InvPendulumBicycleParams)
 
-    # the bench configuration (see BASELINE.md): serpentine-sorted
-    # block=128 tables, capacity kb=14 (overflow-audited at 0.02/m^2),
+    # the bench configuration (see BASELINE.md): fine-y serpentine-sorted
+    # block=128 tables, capacity kb=13 (overflow-audited at 0.02/m^2),
     # 50 m cutoff (dropped force < 1e-4), no runtime screen
     spline = args.model in ("twod", "invpendulum")
     _, state = _build(args.agents, dtype=np.float32,
@@ -52,7 +52,7 @@ def main():
                       hist_len=128 if spline else 8,
                       pad_to_block=None if args.dense else 128)
     nb = None if args.dense else NeighborConfig(
-        cutoff=50.0, block=128, kb=14, backend=args.backend,
+        cutoff=50.0, block=128, kb=13, backend=args.backend,
         rebuild_every=20, screen=False)
     if args.model == "balancingrider":
         params = BalancingRiderParams.create(gains_lut=4096,
