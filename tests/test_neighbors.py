@@ -40,6 +40,32 @@ def test_neighbor_table_structure():
         assert bi in nbr[bi][valid[bi]], f"block {bi} missing itself"
 
 
+def test_cell_keys_fine_y_serpentine_order():
+    """The sort keys order agents column-major with FINE-grained y inside
+    each column (ascending on even columns, descending on odd ones) --
+    the y-extent of a sorted block is its exact run, not whole cells."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0.0, 300.0, 4096))
+    y = jnp.asarray(rng.uniform(0.0, 300.0, 4096))
+    cell = 54.0
+    perm = np.asarray(NB.sort_by_cell(x, y, cell))
+    xs = np.asarray(x)[perm]
+    ys = np.asarray(y)[perm]
+    col = np.floor((xs - xs.min()) / cell).astype(int)
+    # columns appear in nondecreasing order
+    assert (np.diff(col) >= 0).all()
+    y_res = (np.asarray(y).max() - np.asarray(y).min()) / (1 << 15)
+    for c in np.unique(col):
+        yy = ys[col == c]
+        d = np.diff(yy)
+        # fine-grained monotone y within the column (up on even columns,
+        # down on odd), up to the 2^15-level quantization of the key
+        if c % 2 == 0:
+            assert (d >= -y_res).all(), f"column {c} not ascending"
+        else:
+            assert (d <= y_res).all(), f"column {c} not descending"
+
+
 @pytest.mark.parametrize("backend", ["xla", "interpret", "interpret_db"])
 def test_neighbor_forces_match_dense_with_full_cutoff(backend):
     """With a cutoff covering the whole domain the culled path must equal
