@@ -1,0 +1,75 @@
+"""Headline configuration at N = 1,000,000 agents (10x bench scale).
+
+Same density (0.02 /m^2 -> ~7.1 x 7.1 km domain), same culled pair
+stage. Checks HBM capacity (state + pos_hist + [B, B] bbox table at
+B = 7813) and whether throughput holds at 10x the block count. kb is
+re-audited at this scale before timing (same overflow guarantee as
+bench.py).
+
+    python scripts/exp_scale_1m.py [--steps 60]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--n", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/csf_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from bench import BLOCK, CUTOFF, KB, REBUILD, audit_overflow
+
+    from __graft_entry__ import _build
+    from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    n = args.n
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    _, state = _build(n, dtype=np.float32, density=0.02, hist_len=8,
+                      pad_to_block=BLOCK)
+    cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=KB,
+                         rebuild_every=REBUILD, sub=0, screen=False,
+                         backend="pallas" if on_tpu else "xla")
+    engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
+                           rep_force="twod", neighbors=cfg)
+
+    # audit FIRST (host CPU): the bench kb must hold at this scale too
+    pos = np.asarray(jax.device_get(state.s))[:, :2]
+    audit_overflow(pos[:, 0], pos[:, 1], cfg, f"N={n} t=0")
+
+    run = jax.jit(lambda e, s: e.simulate(s, args.steps, record=False)[0])
+
+    def sync(out):
+        jax.block_until_ready(out)
+        return np.asarray(out.s[:4, :4])
+
+    out0 = run(engine, state)
+    sync(out0)
+    pos1 = np.asarray(jax.device_get(out0.s))[:, :2]
+    audit_overflow(pos1[:, 0], pos1[:, 1], cfg, f"N={n} t=end")
+
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe = sync(run(engine, state))
+        dt = min(dt, time.perf_counter() - t0)
+    assert np.all(np.isfinite(probe))
+    print(f"N={n}: {1e3 * dt / args.steps:.2f} ms/step "
+          f"({n * args.steps / dt / 1e6:.2f}M agent-steps/s)")
+
+
+if __name__ == "__main__":
+    main()
