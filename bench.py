@@ -218,10 +218,13 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
     """Additional model-family metrics (one per subprocess): the spline
     path-planning models and the stochastic flagship at bench scale.
 
-    Configs follow the BASELINE.md round-3 record: spline-family models
-    disable the sorted-resident fast path (their large per-step op graph
-    schedules ~2.7x slower sorted-resident in long rebuild chunks) and
-    the invpendulum row uses the tabulated ZOH propagator (zoh_lut).
+    Configs follow the BASELINE.md round-3 record: invpendulum disables
+    the sorted-resident fast path (its large per-step op graph schedules
+    ~3.5x slower sorted-resident in long rebuild chunks) and uses the
+    tabulated ZOH propagator (zoh_lut); twod re-enables sorted residency
+    (the global-clock ring write + cond-gated spline fallback shrank its
+    step body below the SR-pathology threshold: 14.2M with SR vs 12.2M
+    without).
     """
     _enable_compile_cache()
     import jax
@@ -241,7 +244,7 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
         sub=0, screen=False, backend="pallas" if on_tpu else "xla")
     if row == "twod":
-        params, model, sr = BicycleParams.create(), MODELS["twod"], False
+        params, model, sr = BicycleParams.create(), MODELS["twod"], True
         label = ("twod spline-path-planning model (masked not-a-knot "
                  "spline fit + curvature speed law per agent per step)")
     elif row == "invpendulum":

@@ -170,29 +170,59 @@ def dest_force_spline(params, state: AgentState):
     # silently wraps to STALE samples. hist is static; warn at trace
     # time when t_s is concrete (make_state(hist_len=128) is safe for
     # the default t_s = 0.01).
+    lookback_c = None
     try:
         # t_s may be per-agent ([n]) after as_population -- every agent
         # shares the same sampling time, so row 0 is representative
-        lookback_c = int(np.floor(1.0 / float(np.asarray(params.t_s).flat[0])))
-        if hist < lookback_c + 1:
+        ts_np = np.asarray(params.t_s)
+        if ts_np.size == 1 or np.all(ts_np == ts_np.flat[0]):
+            lookback_c = int(np.floor(1.0 / float(ts_np.flat[0])))
+        if lookback_c is not None and hist < lookback_c + 1:
             import warnings
 
             warnings.warn(
                 f"spline destination force: pos_hist ring buffer "
                 f"(hist_len={hist}) is shorter than the 1 s lookback "
                 f"({lookback_c + 1} samples at t_s="
-                f"{float(np.asarray(params.t_s))}); the last-destination "
+                f"{float(ts_np.flat[0])}); the last-destination "
                 f"spline will read wrapped (stale) samples -- build the "
                 f"state with make_state(hist_len>={lookback_c + 1})",
                 stacklevel=2)
-    except (TypeError, ValueError):   # traced/per-agent t_s: skip
-        pass
+    except (TypeError, ValueError):   # traced t_s: keep the general path
+        lookback_c = None
 
-    def per_agent(s, pos_hist, i, dest, dq, ptr, nq, znav, znavp,
-                  istop, dstop, p, g_a, ts_a):
+    # ring-buffer lookbacks at the GLOBAL step clock (AgentState.t_glob):
+    # slot t % H holds every agent's position at global step t, so the
+    # one-step-back sample is one [N, 2] dynamic slice, and the 1 s-back
+    # sample is another when t_s is host-concrete and uniform (the
+    # common case). For an agent active since t = 0 the slots coincide
+    # with the reference's per-agent-step indexing (vehicle.py:1486);
+    # unwritten slots carry the initial/entry position (make_state /
+    # SumoIntersection seed the whole ring), which is exactly the
+    # reference's earliest-available sample.
+    tg = state.t_glob
+    ph = state.pos_hist
+
+    def ring_row(slot):
+        z = jnp.zeros((), slot.dtype)   # match index dtypes under x64
+        return jax.lax.dynamic_slice(
+            ph, (z, slot % hist, z), (n, 1, 2))[:, 0]
+
+    prev_all = ring_row(tg - 1)
+    if lookback_c is not None:
+        back_all = ring_row(tg - jnp.minimum(tg, lookback_c))
+    else:
+        # traced / non-uniform t_s: per-agent lookback via a one-hot
+        # contraction over the ring (the pre-global-clock general path)
+        lb = jnp.floor(1.0 / t_s).astype(jnp.int32)   # vehicle.py:1486
+        jb = (tg - jnp.minimum(tg, lb)) % hist        # [n]
+        oh = jnp.arange(hist)[None, :] == jb[:, None]
+        back_all = jnp.sum(jnp.where(oh[:, :, None], ph, 0.0), axis=1)
+
+    def per_agent(s, prev, back1s, i, dest, dq, ptr, nq, znav, znavp,
+                  istop, dstop, p, g_a):
         pos = s[:2]
         v = s[V]
-        lookback = jnp.floor(1.0 / ts_a).astype(jnp.int32)  # vehicle.py:1486
 
         # ---- first pass: destination-queue update + navigation FSM
         dest1, ptr1, istop1, dstop1 = nav.update_destination(
@@ -202,15 +232,10 @@ def dest_force_spline(params, state: AgentState):
         vd1, znav1, znavp1 = nav.update_nav_state(
             v, ddest1, dest1[2], znav, znavp, i, p)
 
-        # ---- spline support points (one-hot takes instead of gathers;
-        # see ops.navigation.queue_take)
+        # ---- spline support points (global-clock ring slices computed
+        # outside the vmap; queue rows via one-hot takes, see
+        # ops.navigation.queue_take)
         is_last = ptr1 >= nq - 1
-
-        def hist_take(idx):
-            oh = jnp.arange(hist) == idx
-            return jnp.sum(jnp.where(oh[:, None], pos_hist, 0.0), axis=0)
-
-        prev = hist_take((i - 1) % hist)
 
         # not-last: (prev, current, dq[ptr1 .. ptr1+fwd-1]), fwd in 2..4
         fwd = jnp.minimum(SPL_N_FWD, nq - ptr1)
@@ -224,9 +249,8 @@ def dest_force_spline(params, state: AgentState):
             [prev[None], pos[None], dq_sel], axis=0)            # [6, 2]
 
         # last: (1 s back, one step back, current, destination)
-        jb = jnp.maximum(0, i - lookback) % hist
         pts_last = jnp.concatenate(
-            [hist_take(jb)[None], prev[None], pos[None],
+            [back1s[None], prev[None], pos[None],
              dest1[None, :2], jnp.zeros((2, 2), dq.dtype)],
             axis=0)                                             # [6, 2]
 
@@ -270,17 +294,7 @@ def dest_force_spline(params, state: AgentState):
         seg_len = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
         f_spl = v_spl * seg / jnp.where(seg_len > 0, seg_len, 1.0)
 
-        # ---- straight-line fallback with the double-FSM-update quirk
-        dest2, ptr2, istop2, dstop2 = nav.update_destination(
-            pos, dest1, dq, ptr1, nq, znav1, i, istop1, dstop1,
-            p.d_arrived_inter)
-        ddest2 = nav.dest_distance(pos, dq, ptr2)
-        vd2, znav2, znavp2 = nav.update_nav_state(
-            v, ddest2, dest2[2], znav1, znavp1, i, p)
-        fb_x, fb_y = F.dest_force_straight(
-            pos[0], pos[1], dest2[0], dest2[1], vd2, ddest2)
-
-        # ---- branch selection (precedence: step-0, arrived, fallback,
+        # ---- fallback predicate (precedence: step-0, arrived, fallback,
         # spline); the unselected spline branch may contain NaN from
         # degenerate support points -- jnp.where drops it. A NON-FINITE
         # spline force (duplicate support points, e.g. a single-destination
@@ -289,24 +303,64 @@ def dest_force_spline(params, state: AgentState):
         use_fb = (((ipred >= SPL_N_PNTS)
                    | ~jnp.all(jnp.isfinite(f_spl)))
                   & ~znav1[2] & (i > 0))
+        # base (no-fallback) force; the cond-gated fallback stage below
+        # overwrites the use_fb rows
         fx = jnp.where(i == 0, vd1 * jnp.cos(s[PSI]),
-                       jnp.where(znav1[2], 0.0,
-                                 jnp.where(use_fb, fb_x, f_spl[0])))
+                       jnp.where(znav1[2], 0.0, f_spl[0]))
         fy = jnp.where(i == 0, vd1 * jnp.sin(s[PSI]),
-                       jnp.where(znav1[2], 0.0,
-                                 jnp.where(use_fb, fb_y, f_spl[1])))
+                       jnp.where(znav1[2], 0.0, f_spl[1]))
+        return (fx, fy, use_fb, dest1, ptr1, znav1, znavp1, istop1, dstop1)
+
+    (fx, fy, use_fb, dest, ptr, znav, znavp, istop,
+     dstop) = jax.vmap(per_agent)(
+        state.s, prev_all, back_all, state.i, state.dest, state.destqueue,
+        state.destpointer, state.nq, state.znav, state.znavparams,
+        state.i_stopsignal, state.d_stopsignal, npar, g)
+    # inactive rows are discarded by finish_step's freeze either way --
+    # keep them out of the gate so a frozen degenerate agent cannot pin
+    # the fallback branch on forever
+    use_fb = use_fb & state.active
+
+    # ---- straight-line fallback with the double-FSM-update quirk
+    # (reference vehicle.py:1556 calling vehicle.py:1189-1194), gated at
+    # the POPULATION level: inlined unconditionally this second FSM pass
+    # costs ~3.9 ms/step at N = 1e5 (round-3 bisect, BASELINE.md) even
+    # though after the first steps no agent takes it -- an agent needs it
+    # only while its support points are degenerate (first post-spawn
+    # steps, stationary at a stop signal) or its look-ahead runs past the
+    # spline end. lax.cond skips the whole pass on fallback-free steps.
+    def run_fb(op):
+        fx, fy, dest1, ptr1, znav1, znavp1, istop1, dstop1 = op
+
+        def fb_agent(s, dest1, ptr1, znav1, znavp1, istop1, dstop1,
+                     dq, nq, i, p):
+            pos = s[:2]
+            dest2, ptr2, istop2, dstop2 = nav.update_destination(
+                pos, dest1, dq, ptr1, nq, znav1, i, istop1, dstop1,
+                p.d_arrived_inter)
+            ddest2 = nav.dest_distance(pos, dq, ptr2)
+            vd2, znav2, znavp2 = nav.update_nav_state(
+                s[V], ddest2, dest2[2], znav1, znavp1, i, p)
+            fb_x, fb_y = F.dest_force_straight(
+                pos[0], pos[1], dest2[0], dest2[1], vd2, ddest2)
+            return fb_x, fb_y, dest2, ptr2, znav2, znavp2, istop2, dstop2
+
+        (fbx, fby, dest2, ptr2, znav2, znavp2, istop2,
+         dstop2) = jax.vmap(fb_agent)(
+            state.s, dest1, ptr1, znav1, znavp1, istop1, dstop1,
+            state.destqueue, state.nq, state.i, npar)
 
         def sel(a, b):
-            return jnp.where(use_fb, a, b)
+            m = use_fb.reshape((-1,) + (1,) * (b.ndim - 1))
+            return jnp.where(m, a, b)
 
-        return (fx, fy, sel(dest2, dest1), sel(ptr2, ptr1),
-                sel(znav2, znav1), sel(znavp2, znavp1),
+        return (sel(fbx, fx), sel(fby, fy), sel(dest2, dest1),
+                sel(ptr2, ptr1), sel(znav2, znav1), sel(znavp2, znavp1),
                 sel(istop2, istop1), sel(dstop2, dstop1))
 
-    fx, fy, dest, ptr, znav, znavp, istop, dstop = jax.vmap(per_agent)(
-        state.s, state.pos_hist, state.i, state.dest, state.destqueue,
-        state.destpointer, state.nq, state.znav, state.znavparams,
-        state.i_stopsignal, state.d_stopsignal, npar, g, t_s)
+    op = (fx, fy, dest, ptr, znav, znavp, istop, dstop)
+    (fx, fy, dest, ptr, znav, znavp, istop, dstop) = jax.lax.cond(
+        jnp.any(use_fb), run_fb, lambda o: o, op)
 
     new_state = state.replace(
         dest=dest, destpointer=ptr, znav=znav, znavparams=znavp,
@@ -949,13 +1003,17 @@ class Engine(struct.PyTreeNode):
             s = jnp.where(use[:, None], replay, merged.s)
             s = jnp.where(hold[:, None], before.s, s)
             merged = merged.replace(s=s)
-        slot = i % merged.hist_len
-        # one-hot masked write instead of a row scatter (TPU scatters with
-        # tiny minor dims serialize; this form is bandwidth-bound)
-        oh = jnp.arange(merged.hist_len)[None, :] == slot[:, None]
-        pos_hist = jnp.where(oh[:, :, None], merged.s[:, None, :2],
-                             merged.pos_hist)
-        return merged.replace(i=i, pos_hist=pos_hist)
+        # ring write at the GLOBAL step clock (see AgentState.t_glob): a
+        # scalar slot makes this a [N, 1, 2] dynamic_update_slice instead
+        # of a full-ring one-hot rewrite (read+write ~200 MB/step at
+        # N = 1e5, H = 128). Every agent (frozen ones included) records
+        # its held position, so slot t % H = position at global step t.
+        t1 = merged.t_glob + 1
+        z = jnp.zeros((), t1.dtype)     # match index dtypes under x64
+        pos_hist = jax.lax.dynamic_update_slice(
+            merged.pos_hist, merged.s[:, None, :2],
+            (z, t1 % merged.hist_len, z))
+        return merged.replace(i=i, t_glob=t1, pos_hist=pos_hist)
 
     # device-resident per-step metrics (SURVEY.md section 5): columns of
     # the [T, 8] buffer returned by simulate(record_metrics=True).

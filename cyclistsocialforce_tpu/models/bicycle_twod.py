@@ -22,11 +22,11 @@ from cyclistsocialforce_tpu.state import DELTA, THETA, V, AgentState
 N_STATES = 5
 REP_FORCE = "twod"
 DEST_FORCE = "spline"
-# large per-step op graph (spline fit/eval chain): the sorted-resident
-# simulate path schedules ~2.7x slower for this model at long rebuild
-# chunks (BASELINE.md round 3) -- engines built on it default to the
-# gather path
-SORTED_RESIDENT = False
+# the global-clock ring write + cond-gated spline fallback shrank this
+# model's step body back under the sorted-residency scheduling
+# threshold (BASELINE.md "Global-clock" section: 7.04 ms/step SR vs
+# 8.21 no-SR at bench scale) -- sorted residency is a win again
+SORTED_RESIDENT = True
 
 
 def step(params, state: AgentState, fx, fy) -> AgentState:

@@ -53,8 +53,9 @@ def state_pspecs(axis: str = AGENT_AXIS):
     """PartitionSpecs for every AgentState field: per-agent leaves sharded
     on their leading axis, the PRNG key replicated."""
     fields = {f: P(axis) for f in AgentState.__dataclass_fields__
-              if f != "key"}
-    fields["key"] = P()
+              if f not in ("key", "t_glob")}
+    fields["key"] = P()          # single PRNG key, replicated
+    fields["t_glob"] = P()       # scalar global step clock, replicated
     return AgentState(**fields)
 
 

@@ -66,7 +66,17 @@ class AgentState(struct.PyTreeNode):
     #                        of the reference's 1 s trajectory scan)
     # step counter and position history ring buffer
     i: Any                 # [N] int32
-    pos_hist: Any          # [N, H, 2] float, slot i % H holds position @ step i
+    # pos_hist is indexed by the GLOBAL step clock t_glob: slot t % H
+    # holds every agent's position at global step t (frozen agents
+    # rewrite their held position; unwritten slots keep the initial
+    # position, which make_state broadcasts into the whole ring). For an
+    # agent active since t = 0 this is identical to per-agent-step
+    # indexing; a scalar slot makes the per-step ring write a
+    # dynamic_update_slice ([N, 1, 2]) instead of a full-ring one-hot
+    # rewrite (~200 MB/step at N = 1e5, H = 128), and the spline
+    # destination force's lookback reads become dynamic slices.
+    t_glob: Any            # [] int32, global step clock (ring-slot index)
+    pos_hist: Any          # [N, H, 2] float, slot t_glob % H = pos @ step t
     # population mask for dynamic add/remove without reshaping
     active: Any            # [N] bool
     key: Any               # PRNG key (single, split per step)
@@ -146,6 +156,7 @@ def make_state(s0, queue_size: int = 16, hist_len: int = 128,
         zrid=zrid,
         walk_ok_steps=jnp.zeros((n,), dtype=jnp.int32),
         i=jnp.zeros((n,), dtype=jnp.int32),
+        t_glob=jnp.zeros((), dtype=jnp.int32),
         pos_hist=pos_hist,
         active=jnp.ones((n,), dtype=bool),
         key=jax.random.PRNGKey(seed),

@@ -84,7 +84,7 @@ def make_variant(name):
                 sl = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2)
                 f_spl = vd1 * seg / jnp.where(sl > 0, sl, 1.0)
             else:
-                t_sites, moments = spl.fit_masked(pts6, m_valid)
+                t_sites, moments = spl.fit_masked_banded(pts6, m_valid)
                 if name == "fitonly":
                     # consume the moments directly, skip both evals
                     f_spl = vd1 * moments[1] / jnp.maximum(
@@ -158,7 +158,7 @@ def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(args.agents, dtype=np.float32, density=0.02,
                       hist_len=128, pad_to_block=128)
-    cfg = NeighborConfig(cutoff=50.0, block=128, kb=14, rebuild_every=20,
+    cfg = NeighborConfig(cutoff=50.0, block=128, kb=13, rebuild_every=20,
                          screen=False,
                          backend="pallas" if on_tpu else "xla")
     engine = Engine.create(
@@ -182,7 +182,14 @@ def main():
         t0 = time.perf_counter()
         probe = sync(run(engine, state))
         dt = min(dt, time.perf_counter() - t0)
-    assert np.all(np.isfinite(probe)), probe
+    # the surgical variants drop the shipped path's straight-line
+    # fallback, so degenerate early-step splines (duplicate support
+    # points while i < the 1 s lookback) propagate NaN into the state --
+    # timing is unaffected (branchless); report instead of asserting
+    if not np.all(np.isfinite(probe)):
+        print(f"note: non-finite state (expected without the fallback "
+              f"branch): {np.isfinite(probe).mean():.2f} finite",
+              file=sys.stderr)
     print(f"RESULT bisect variant={args.variant} rep={args.rep}: "
           f"{dt / args.steps * 1e3:.2f} ms/step (compile {tc:.0f}s)")
 

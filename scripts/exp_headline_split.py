@@ -45,8 +45,10 @@ def main():
                          rebuild_every=rebuild, sub=0, screen=False,
                          backend="pallas" if on_tpu else "xla")
     if args.variant == "nopair":
+        # create() maps rep_force=None to the model default -- null it
+        # AFTER construction (else the dense O(N^2) path runs)
         engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
-                               rep_force=None)
+                               neighbors=cfg).replace(rep_force=None)
     else:
         engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
                                rep_force="twod", neighbors=cfg)
