@@ -45,8 +45,27 @@ _SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT, \
     _FAM = range(14)
 
 
-def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
-                 *, block: int, priority_p2r: bool, cutoff2: float,
+def _flat_sentinel_table(nbr, valid):
+    """Fuse the (nbr [B, KB] int32, valid [B, KB]) neighbor table into one
+    FLAT [B*KB] int32 sign-sentinel array for scalar prefetch.
+
+    SMEM lays scalar-prefetch operands out at (8, 128)-tile granularity,
+    so a 2-D [B, KB] int32 table occupies B*128*4 B of SMEM -- 4 MB at
+    N = 1e6 (B = 7813), over the 1 MB SMEM budget; flat 1-D costs B*KB*4
+    (~400 KB at 1e6, one 128-lane pad total). Valid entries (a closest-
+    first prefix per row, ops.neighbors.neighbor_block_table) keep the
+    source block index; invalid entries store -(row's last valid index)-1,
+    so the decoded index repeats the previous grid step's and the Pallas
+    pipeline's unchanged-index revisit skip elides the DMA."""
+    validb = valid.astype(bool)
+    count = jnp.sum(validb, axis=1)                            # [B]
+    last = jnp.take_along_axis(
+        nbr, jnp.maximum(count - 1, 0)[:, None], axis=1)       # [B, 1]
+    return jnp.where(validb, nbr, -last - 1).reshape(-1)       # [B*KB]
+
+
+def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
+                 *, block: int, kb: int, priority_p2r: bool, cutoff2: float,
                  mixed: bool = False, sub: int = 0, screen: bool = True,
                  fov: bool = True):
     b = pl.program_id(0)
@@ -56,7 +75,9 @@ def _pair_kernel(nbr_ref, valid_ref, roff_ref, src_ref, recv_ref, out_ref,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(valid_ref[b, k] == 1)
+    # tab is the FLAT [B*KB] sign-sentinel table (see the SMEM note in
+    # pair_forces_neighbors): entry >= 0 -> valid source block index
+    @pl.when(tab_ref[b * kb + k] >= 0)
     def _accumulate():
         if not screen:
             # no runtime distance screen: with the serpentine cell sort
@@ -134,24 +155,27 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
     if recv_offset is None:
         recv_offset = jnp.zeros((1,), jnp.int32)
 
+    tab = _flat_sentinel_table(nbr, valid)
+
+    def src_map(b, k, tab_ref, roff_ref):
+        v = tab_ref[b * kb + k]
+        return (jnp.where(v >= 0, v, -v - 1), 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(bcount, kb),
         in_specs=[
-            pl.BlockSpec((block, SRC_COLS),
-                         lambda b, k, nbr_ref, valid_ref, roff_ref:
-                         (nbr_ref[b, k], 0)),
+            pl.BlockSpec((block, SRC_COLS), src_map),
             pl.BlockSpec((RECV_ROWS, block),
-                         lambda b, k, nbr_ref, valid_ref, roff_ref: (0, b)),
+                         lambda b, k, tab_ref, roff_ref: (0, b)),
         ],
         out_specs=pl.BlockSpec((2, block),
-                               lambda b, k, nbr_ref, valid_ref, roff_ref:
-                               (0, b)),
+                               lambda b, k, tab_ref, roff_ref: (0, b)),
     )
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     if sub:
         assert block % sub == 0 and sub % 8 == 0, (block, sub)
-    kernel = functools.partial(_pair_kernel, block=block,
+    kernel = functools.partial(_pair_kernel, block=block, kb=kb,
                                priority_p2r=priority_p2r, cutoff2=c2,
                                mixed=mixed, sub=sub, screen=screen,
                                fov=fov)
@@ -160,8 +184,7 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, n_out), src_pack.dtype),
         interpret=interpret,
-    )(nbr, valid.astype(jnp.int32), recv_offset.astype(jnp.int32),
-      src_pack, recv_pack)
+    )(tab, recv_offset.astype(jnp.int32), src_pack, recv_pack)
 
 
 # --------------------------------------------------------------------------
@@ -286,7 +309,7 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     return fx, fy
 
 
-def _pair_kernel_unrolled(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
+def _pair_kernel_unrolled(tab_ref, roff_ref, src_hbm, recv_ref,
                           out_ref, scratch, sems, *, block: int, kb: int,
                           priority_p2r: bool, mixed: bool = False,
                           fov: bool = True):
@@ -295,24 +318,25 @@ def _pair_kernel_unrolled(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
     STATICALLY UNROLLED -- no per-tile program switch, no fori-loop
     sequencing, no runtime distance screen. The per-tile cost collapses
     to a scalar validity branch while the DMA engine pipelines the
-    copies behind the compute."""
+    copies behind the compute. tab is the flat [B*KB] sign-sentinel
+    table (see pair_forces_neighbors)."""
     b = pl.program_id(0)
 
     def dma(k):
-        blk = nbr_ref[b, k]
-        return pltpu.make_async_copy(
+        v = tab_ref[b * kb + k]
+        blk = jnp.where(v >= 0, v, -v - 1)   # sentinel decodes to a
+        return pltpu.make_async_copy(        # safe (repeated) index
             src_hbm.at[pl.ds(blk * block, block), :],
             scratch.at[k], sems.at[k])
 
     for k in range(kb):          # issue everything; invalid entries point
-        dma(k).start()           # at the block's own tile (safe index)
-
+        dma(k).start()           # at the row's last valid tile
     out_ref[:] = jnp.zeros_like(out_ref)
 
     for k in range(kb):
         dma(k).wait()
 
-        @pl.when(valid_ref[b, k] == 1)
+        @pl.when(tab_ref[b * kb + k] >= 0)
         def _acc(k=k):
             fx, fy = _tile_forces(scratch[k][:, :SRC_COLS], recv_ref,
                                   priority_p2r, mixed=mixed, fov=fov)
@@ -345,16 +369,15 @@ def pair_forces_neighbors_unrolled(nbr, valid, src_pack, recv_pack,
                                  src_pack.dtype)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(bcount,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # src stays in HBM
             pl.BlockSpec((RECV_ROWS, block),
-                         lambda b, nbr_ref, valid_ref, roff_ref: (0, b)),
+                         lambda b, tab_ref, roff_ref: (0, b)),
         ],
         out_specs=pl.BlockSpec((2, block),
-                               lambda b, nbr_ref, valid_ref, roff_ref:
-                               (0, b)),
+                               lambda b, tab_ref, roff_ref: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((kb, block, 128), src_pack.dtype),
             pltpu.SemaphoreType.DMA((kb,)),
@@ -368,14 +391,14 @@ def pair_forces_neighbors_unrolled(nbr, valid, src_pack, recv_pack,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, n_out), src_pack.dtype),
         interpret=interpret,
-    )(nbr, valid.astype(jnp.int32), recv_offset.astype(jnp.int32),
+    )(_flat_sentinel_table(nbr, valid), recv_offset.astype(jnp.int32),
       src_pack, recv_pack)
 
 
 _DB_DEPTH = 4   # DMA pipeline depth (slots prefetched ahead)
 
 
-def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
+def _pair_kernel_db(tab_ref, roff_ref, src_hbm, recv_ref,
                     out_ref, scratch, sems, *, block: int, kb: int,
                     priority_p2r: bool, cutoff2: float,
                     mixed: bool = False, fov: bool = True):
@@ -383,7 +406,8 @@ def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
     depth = _DB_DEPTH
 
     def dma(slot, k):
-        blk = nbr_ref[b, k]
+        v = tab_ref[b * kb + k]              # flat sign-sentinel table
+        blk = jnp.where(v >= 0, v, -v - 1)   # (see pair_forces_neighbors)
         return pltpu.make_async_copy(
             src_hbm.at[pl.ds(blk * block, block), :],
             scratch.at[slot], sems.at[slot])
@@ -398,7 +422,7 @@ def _pair_kernel_db(nbr_ref, valid_ref, roff_ref, src_hbm, recv_ref,
         slot = k % depth
         dma(slot, k).wait()
 
-        @pl.when(valid_ref[b, k] == 1)
+        @pl.when(tab_ref[b * kb + k] >= 0)
         def _acc():
             tile = scratch[slot]
             dx = recv_ref[0:1, :] - tile[:, _SX:_SX + 1]
@@ -449,16 +473,15 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
                                  src_pack.dtype)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(bcount,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # src stays in HBM
             pl.BlockSpec((RECV_ROWS, block),
-                         lambda b, nbr_ref, valid_ref, roff_ref: (0, b)),
+                         lambda b, tab_ref, roff_ref: (0, b)),
         ],
         out_specs=pl.BlockSpec((2, block),
-                               lambda b, nbr_ref, valid_ref, roff_ref:
-                               (0, b)),
+                               lambda b, tab_ref, roff_ref: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((_DB_DEPTH, block, 128), src_pack.dtype),
             pltpu.SemaphoreType.DMA((_DB_DEPTH,)),
@@ -473,7 +496,7 @@ def pair_forces_neighbors_db(nbr, valid, src_pack, recv_pack,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, n_out), src_pack.dtype),
         interpret=interpret,
-    )(nbr, valid.astype(jnp.int32), recv_offset.astype(jnp.int32),
+    )(_flat_sentinel_table(nbr, valid), recv_offset.astype(jnp.int32),
       src_pack, recv_pack)
 
 
