@@ -40,6 +40,38 @@ def test_neighbor_table_structure():
         assert bi in nbr[bi][valid[bi]], f"block {bi} missing itself"
 
 
+def test_flat_sentinel_table_roundtrip():
+    """The Pallas kernels' flat sign-sentinel prefetch table (SMEM lays
+    2-D scalar-prefetch operands out at (8, 128)-tile granularity, so a
+    [B, KB] table would cost B*128*4 B of SMEM -- the 1 MB budget breaks
+    at N = 1e6): valid entries keep the block index, invalid entries
+    decode (-v - 1) to the row's LAST valid index so the pipeline's
+    unchanged-index revisit skip elides their DMAs."""
+    from cyclistsocialforce_tpu.ops.pallas_forces import \
+        _flat_sentinel_table
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 400, 1024))
+    y = jnp.asarray(rng.uniform(0, 400, 1024))
+    _, nbr, valid, _ = NB.build(x, y, cutoff=60.0, block=64, kb=10)
+    tab = np.asarray(_flat_sentinel_table(nbr, valid))
+    nbr, valid = np.asarray(nbr), np.asarray(valid).astype(bool)
+    B, KB = nbr.shape
+    assert tab.shape == (B * KB,)
+    tab = tab.reshape(B, KB)
+    for b in range(B):
+        count = valid[b].sum()
+        assert count >= 1  # self block is always in range
+        # valid entries are a prefix (closest-first) and pass through
+        assert np.all(valid[b, :count]) and not valid[b, count:].any()
+        np.testing.assert_array_equal(tab[b, :count], nbr[b, :count])
+        # sentinel entries decode to the row's last valid block index
+        decoded = -tab[b, count:] - 1
+        assert np.all(tab[b, count:] < 0)
+        np.testing.assert_array_equal(
+            decoded, np.full(KB - count, nbr[b, count - 1]))
+
+
 def test_cell_keys_fine_y_serpentine_order():
     """The sort keys order agents column-major with FINE-grained y inside
     each column (ascending on even columns, descending on odd ones) --
