@@ -30,13 +30,18 @@ import time
 import numpy as np
 
 # bench configuration (see BASELINE.md for the tuning record):
-#  * block=128: smallest receiver block the TPU lane width admits -- the
-#    table is tighter than block=256 (1.2k vs 2.1k candidate pairs per
-#    agent), and with no runtime screen the per-program overhead is low
-#  * kb=13: capacity margin 2 over the audited max in-range count (11
-#    under the fine-y serpentine sort, incl. the inactive pad-agent
-#    clump; was 12/kb=14 with cell-granular y keys -- see
-#    ops/neighbors.cell_keys and scripts/exp_hilbert.py)
+#  * block=128 receivers: the smallest block the TPU lane width admits
+#    (receivers are the pair tile's LANE dim; narrower wastes lanes)
+#  * block_src=64 sources: sources are the tile's SUBLANE dim
+#    (granularity 8, no lane waste), so the finer source granularity
+#    admits ~20% fewer candidate pairs (875 vs 1098 per agent,
+#    scripts/exp_asym_blocks.py) -- measured 5.78 -> 5.23 ms/step.
+#    block_src=32 measures WORSE (6.20 ms): the per-grid-step pipeline
+#    overhead at kb=31 eats the remaining pair reduction
+#  * kb=19: capacity margin 2 over the audited max in-range count (17
+#    source-64 blocks under the fine-y serpentine sort, incl. the
+#    inactive pad-agent clump; was 11/kb=13 at block_src=128 -- see
+#    ops/neighbors.cell_keys, scripts/exp_hilbert.py, exp_asym_blocks.py)
 #  * cutoff=50 m: dropped-force bound 9e-5 < the 1e-4 parity tolerance
 #  * screen=False: the serpentine-sorted table is tight enough that the
 #    per-tile min-distance screen (a vector->scalar pipeline stall) costs
@@ -45,7 +50,8 @@ import numpy as np
 #  * 240-step horizon: the remote-tunnel dispatch latency (~30-60 ms per
 #    run) is fixed cost -- a longer scan amortizes it out of the
 #    per-step figure (60 -> 240 steps: measured 7.2 -> 6.2 ms/step)
-BLOCK, KB, CUTOFF, REBUILD = 128, 13, 50.0, 20
+BLOCK, KB, CUTOFF, REBUILD = 128, 19, 50.0, 20
+BLOCK_SRC = 64
 
 
 def _enable_compile_cache():
@@ -81,7 +87,8 @@ def audit_overflow(x, y, cfg, tag):
             [jnp.asarray(x), jnp.full((npd - n,), x[0], jnp.float32)])
         yj = jnp.concatenate(
             [jnp.asarray(y), jnp.full((npd - n,), y[0], jnp.float32)])
-        cache = NB.build(xj, yj, cfg.cutoff + cfg.skin, cfg.block, cfg.kb)
+        cache = NB.build(xj, yj, cfg.cutoff + cfg.skin, cfg.block, cfg.kb,
+                         block_src=cfg.block_src)
         counts = np.asarray(cache[2]).sum(1)
         overflow = np.asarray(cache[3])
     print(f"audit {tag}: max in-range blocks {counts.max()} "
@@ -108,7 +115,7 @@ def main(n_agents=100_000, n_steps=240, density=0.02):
                       hist_len=8, pad_to_block=BLOCK)
     cfg = NeighborConfig(
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
-        sub=0, screen=False,
+        sub=0, screen=False, block_src=BLOCK_SRC,
         backend="pallas" if on_tpu else "xla")
     engine = Engine.create(
         BicycleParams.create(), MODELS["bicycle2d"], rep_force="twod",
@@ -176,7 +183,7 @@ def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
                       hist_len=8, pad_to_block=BLOCK)
     cfg = NeighborConfig(
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
-        sub=0, screen=False,
+        sub=0, screen=False, block_src=BLOCK_SRC,
         backend="pallas" if on_tpu else "xla")
     model = MODELS["balancingrider"]
     # gains_lut: K(v) tabulated at 4096 points (dv = 2.7e-3 m/s; max
@@ -242,7 +249,8 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
                       hist_len=hist, pad_to_block=BLOCK)
     cfg = NeighborConfig(
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
-        sub=0, screen=False, backend="pallas" if on_tpu else "xla")
+        sub=0, screen=False, block_src=BLOCK_SRC,
+        backend="pallas" if on_tpu else "xla")
     if row == "twod":
         params, model, sr = BicycleParams.create(), MODELS["twod"], True
         label = ("twod spline-path-planning model (masked not-a-knot "

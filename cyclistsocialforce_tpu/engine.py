@@ -449,7 +449,16 @@ class NeighborConfig:
         (incl. MixedEngine legacy groups) need ~100 m: its forward decay
         exponent rho*sqrt((1-e)/(1+e))/p_decay is much slower for fast
         sources (measured 3.2e-5 at 100 m, 1.5e-3 at 60 m).
-    block : agents per tile (multiple of 8; lanes want multiples of 128).
+    block : agents per RECEIVER tile (multiple of 8; receivers are the
+        pair tile's LANE dim, so throughput wants multiples of 128).
+    block_src : agents per SOURCE block (0 = same as `block`; must divide
+        `block`, multiple of 8). Sources are the tile's SUBLANE dim
+        (granularity 8, no lane waste), so a finer source block shrinks
+        each candidate tile without wasting VPU lanes: at the bench
+        distribution block_src=64 admits ~20% fewer candidate pairs than
+        128 (scripts/exp_asym_blocks.py) and the issue-bound pair stage
+        speeds up accordingly. Needs a larger kb (more, smaller blocks
+        per receiver: audited max 17 at 64 vs 11 at 128, bench scale).
     kb : max neighbor blocks per receiver block (capacity; overflow drops
         the farthest blocks).
     backend : "pallas" (TPU kernel), "xla" (gather fallback), or
@@ -461,9 +470,16 @@ class NeighborConfig:
 
     def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas",
                  rebuild_every=1, skin=None, v_max=10.0, t_s=0.01,
-                 sub=0, screen=True, rebuild_mode="chunked"):
+                 sub=0, screen=True, rebuild_mode="chunked",
+                 block_src=0):
         self.cutoff = float(cutoff)
         self.block = int(block)
+        self.block_src = int(block_src) or self.block
+        if (self.block % self.block_src != 0
+                or self.block_src % 8 != 0):
+            raise ValueError(
+                f"block_src ({self.block_src}) must divide block "
+                f"({self.block}) and be a multiple of 8")
         self.kb = int(kb)
         self.backend = backend
         self.rebuild_every = int(rebuild_every)
@@ -493,7 +509,7 @@ class NeighborConfig:
     def _key(self):
         return (self.cutoff, self.block, self.kb, self.backend,
                 self.rebuild_every, self.skin, self.sub, self.screen,
-                self.rebuild_mode)
+                self.rebuild_mode, self.block_src)
 
     def __hash__(self):
         return hash(self._key())
@@ -527,7 +543,8 @@ def build_neighbor_cache(cfg: NeighborConfig, state):
     if npad != n:
         x = jnp.concatenate([x, jnp.full((npad - n,), x[0], dtype=x.dtype)])
         y = jnp.concatenate([y, jnp.full((npad - n,), y[0], dtype=y.dtype)])
-    return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb)
+    return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb,
+                    block_src=cfg.block_src)
 
 
 def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
@@ -539,20 +556,27 @@ def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
     from cyclistsocialforce_tpu.ops import pallas_forces as PF
 
     blk = cfg.block
+    bs = cfg.block_src
     dtype = src_sorted.dtype
     f32 = lambda a: a.astype(jnp.float32)   # noqa: E731
     if cfg.backend == "xla":
         return PF.pair_forces_neighbors_xla(
             nbr, valid, src_sorted, recv_sorted, block=blk,
             priority_p2r=priority_p2r, recv_offset=recv_offset,
-            mixed=mixed, fov=fov)
+            mixed=mixed, fov=fov, block_src=bs)
     if cfg.backend in ("pallas_unrolled", "interpret_unrolled"):
+        if bs != blk:
+            raise ValueError("the unrolled-DMA backend does not support "
+                             "block_src != block; use 'pallas'")
         return PF.pair_forces_neighbors_unrolled(
             nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
             priority_p2r=priority_p2r,
             interpret=(cfg.backend == "interpret_unrolled"),
             recv_offset=recv_offset, mixed=mixed, fov=fov).astype(dtype)
     if cfg.backend in ("pallas_db", "interpret_db"):
+        if bs != blk:
+            raise ValueError("the double-buffered backend does not "
+                             "support block_src != block; use 'pallas'")
         return PF.pair_forces_neighbors_db(
             nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
             priority_p2r=priority_p2r,
@@ -564,7 +588,8 @@ def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
         priority_p2r=priority_p2r,
         interpret=(cfg.backend == "interpret"),
         cutoff=cfg.cutoff, recv_offset=recv_offset,
-        mixed=mixed, sub=cfg.sub, screen=cfg.screen, fov=fov).astype(dtype)
+        mixed=mixed, sub=cfg.sub, screen=cfg.screen, fov=fov,
+        block_src=bs).astype(dtype)
 
 
 class RoadElements(struct.PyTreeNode):
@@ -870,7 +895,8 @@ class Engine(struct.PyTreeNode):
         idx = jnp.arange(npad, dtype=jnp.int32)[perm]
 
         nblk = npad // blk
-        lane = jnp.arange(blk, dtype=jnp.int32)
+        bs = cfg.block_src
+        lane = jnp.arange(bs, dtype=jnp.int32)
         resh = lambda a: a.reshape(nblk, blk)    # noqa: E731
         xr, yr, pr, vr = resh(x), resh(y), resh(psi), resh(v)
         ar, ir = resh(act), resh(idx)
@@ -897,9 +923,9 @@ class Engine(struct.PyTreeNode):
                 l[0] if isinstance(l, tuple) else l[bi] for l in blocked])
 
         def recv_block(bi):
-            take = (nbr[bi][:, None] * blk + lane[None, :]).reshape(-1)
+            take = (nbr[bi][:, None] * bs + lane[None, :]).reshape(-1)
             src = (x[take], y[take], psi[take], v[take])
-            src_ok = act[take] & jnp.repeat(valid[bi], blk)
+            src_ok = act[take] & jnp.repeat(valid[bi], bs)
             recv = (xr[bi], yr[bi], pr[bi], vr[bi])
             fpx, fpy = self.rep_force(params_view(bi), src, recv)
             untracked = F.untracked_foes_tile(

@@ -102,15 +102,24 @@ def bbox_distance2(boxes_a, boxes_b):
     return dx * dx + dy * dy
 
 
-def neighbor_block_table(bboxes, cutoff, kb: int):
+def neighbor_block_table(bboxes, cutoff, kb: int, src_bboxes=None):
     """Fixed-width neighbor-block table.
+
+    bboxes are the RECEIVER blocks' boxes; src_bboxes (default: the same
+    boxes) may use a FINER granularity -- the pair tile's source axis is
+    the VPU sublane dim (granularity 8, no lane waste), so finer source
+    blocks shrink each candidate tile and cut the issue-bound pair work
+    (~20% fewer candidate pairs at source block 64 vs 128 on the bench
+    distribution, scripts/exp_asym_blocks.py).
 
     Returns (nbr [B, KB] int32, valid [B, KB] bool, overflow [B] bool):
     for each receiver block, the up-to-KB source blocks within `cutoff`
     (box-to-box), CLOSEST FIRST; `overflow` flags receiver blocks whose
     true neighbor count exceeded KB (dropped-farthest semantics).
     """
-    d2 = bbox_distance2(bboxes, bboxes)                  # [B, B]
+    if src_bboxes is None:
+        src_bboxes = bboxes
+    d2 = bbox_distance2(bboxes, src_bboxes)              # [B, B_src]
     within = d2 <= cutoff * cutoff
     # rank by distance; out-of-range blocks pushed to +inf
     ranked = jnp.where(within, d2, BIG)
@@ -118,21 +127,30 @@ def neighbor_block_table(bboxes, cutoff, kb: int):
     dsel = jnp.take_along_axis(ranked, order, axis=1)
     valid = dsel < BIG
     overflow = jnp.sum(within, axis=1) > kb
-    nbr = jnp.where(valid, order, jnp.arange(
-        bboxes.shape[0], dtype=jnp.int32)[:, None])
+    # invalid entries hold ANY in-bounds source index (they are masked by
+    # `valid` in the XLA path and re-encoded as DMA-eliding sign sentinels
+    # by the Pallas path); 0 is in-bounds for any block count
+    nbr = jnp.where(valid, order, 0)
     return nbr, valid, overflow
 
 
-def build(x, y, cutoff, block: int, kb: int, cell_size=None):
+def build(x, y, cutoff, block: int, kb: int, cell_size=None,
+          block_src: int = 0):
     """One-call neighbor structure: (perm, nbr, valid, overflow).
 
-    perm sorts agents by cell; nbr/valid index SORTED blocks.
-    N must be divisible by `block` (pad the population upstream).
+    perm sorts agents by cell; nbr/valid index SORTED blocks -- receiver
+    blocks of `block` agents, source blocks of `block_src` (0 = same as
+    `block`; must divide `block`). N must be divisible by `block` (pad
+    the population upstream).
     """
     if cell_size is None:
         cell_size = cutoff
+    block_src = block_src or block
     perm = sort_by_cell(x, y, cell_size)
     xs, ys = x[perm], y[perm]
     boxes = block_bboxes(xs, ys, block)
-    nbr, valid, overflow = neighbor_block_table(boxes, cutoff, kb)
+    src_boxes = (boxes if block_src == block
+                 else block_bboxes(xs, ys, block_src))
+    nbr, valid, overflow = neighbor_block_table(boxes, cutoff, kb,
+                                                src_bboxes=src_boxes)
     return perm, nbr, valid, overflow

@@ -67,7 +67,8 @@ def _flat_sentinel_table(nbr, valid):
 def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
                  *, block: int, kb: int, priority_p2r: bool, cutoff2: float,
                  mixed: bool = False, sub: int = 0, screen: bool = True,
-                 fov: bool = True):
+                 fov: bool = True, block_src: int = 0):
+    block_src = block_src or block
     b = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -96,7 +97,7 @@ def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
             # each [sub, block] SOURCE STRIP and skip the transcendental
             # math for strips with no pair in range (force error bounded
             # by the same exp(-cutoff/sigma) argument as the tile screen)
-            for s0 in range(0, block, sub):
+            for s0 in range(0, block_src, sub):
                 strip = src_ref[s0:s0 + sub, :]
                 dx = recv_ref[0:1, :] - strip[:, _SX:_SX + 1]
                 dy = recv_ref[1:2, :] - strip[:, _SY:_SY + 1]
@@ -126,14 +127,14 @@ def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
                                              "interpret", "cutoff",
                                              "mixed", "sub", "screen",
-                                             "fov"))
+                                             "fov", "block_src"))
 def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                           priority_p2r: bool = False,
                           interpret: bool = False,
                           cutoff: float = float("inf"),
                           recv_offset=None, mixed: bool = False,
                           sub: int = 0, screen: bool = True,
-                          fov: bool = True):
+                          fov: bool = True, block_src: int = 0):
     """Block-sparse pairwise force sum.
 
     nbr, valid : [B, KB] neighbor-block table (ops.neighbors); `nbr`
@@ -145,12 +146,19 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
     recv_offset: optional [1] int32 -- the receiver shard's first block's
                  index within the source block array (self-pair exclusion
                  needs source/receiver indices in the same numbering)
+    block_src  : SOURCE block granularity (0 = `block`). Sources are the
+                 tile's sublane dim, so a finer source block (e.g. 64)
+                 shrinks candidate tiles at no lane-utilization cost --
+                 ~20% fewer candidate pairs on the bench distribution
+                 (the table must be built at the same granularity:
+                 ops.neighbors.build(block_src=...)).
     returns    : [2, B*block] summed (fx, fy) per receiver, sorted order
     """
     n_src = src_pack.shape[0]
     bcount, kb = nbr.shape
     n_out = bcount * block
-    assert n_src % block == 0
+    block_src = block_src or block
+    assert n_src % block_src == 0
     assert recv_pack.shape[1] == n_out
     if recv_offset is None:
         recv_offset = jnp.zeros((1,), jnp.int32)
@@ -165,7 +173,7 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
         num_scalar_prefetch=2,
         grid=(bcount, kb),
         in_specs=[
-            pl.BlockSpec((block, SRC_COLS), src_map),
+            pl.BlockSpec((block_src, SRC_COLS), src_map),
             pl.BlockSpec((RECV_ROWS, block),
                          lambda b, k, tab_ref, roff_ref: (0, b)),
         ],
@@ -174,11 +182,11 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
     )
     c2 = float(cutoff) ** 2 if cutoff != float("inf") else 3.0e38
     if sub:
-        assert block % sub == 0 and sub % 8 == 0, (block, sub)
+        assert block_src % sub == 0 and sub % 8 == 0, (block_src, sub)
     kernel = functools.partial(_pair_kernel, block=block, kb=kb,
                                priority_p2r=priority_p2r, cutoff2=c2,
                                mixed=mixed, sub=sub, screen=screen,
-                               fov=fov)
+                               fov=fov, block_src=block_src)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -510,27 +518,30 @@ def pair_forces_neighbors_xla(nbr, valid, src_pack, recv_pack,
                               block: int = 128,
                               priority_p2r: bool = False,
                               recv_offset=None, mixed: bool = False,
-                              fov: bool = True):
+                              fov: bool = True, block_src: int = 0):
     """Gather-based evaluation of the identical block-sparse structure.
 
     With mixed=True, the per-row _FAM column selects the twod or legacy
-    field (same packing contract as the Pallas kernels)."""
+    field (same packing contract as the Pallas kernels). block_src is
+    the SOURCE block granularity (0 = `block`; see
+    pair_forces_neighbors)."""
     from cyclistsocialforce_tpu.ops import forces as F
 
     n = recv_pack.shape[1]
     bcount, kb = nbr.shape
     n_src = src_pack.shape[0]
+    block_src = block_src or block
     del recv_offset  # self-exclusion is positional (rho > 0); kept in
     #                  the signature for call-site symmetry with the
     #                  Pallas kernels
 
-    src_blocks = src_pack.reshape(n_src // block, block, SRC_COLS)
-    gathered = src_blocks[nbr]            # [B, KB, T, C]
-    src = gathered.reshape(bcount, kb * block, SRC_COLS)
+    src_blocks = src_pack.reshape(n_src // block_src, block_src, SRC_COLS)
+    gathered = src_blocks[nbr]            # [B, KB, S, C]
+    src = gathered.reshape(bcount, kb * block_src, SRC_COLS)
 
     recv = recv_pack.T.reshape(bcount, block, RECV_ROWS)   # [B, T, 8]
 
-    vmask = jnp.repeat(valid, block, axis=1)               # [B, KB*T]
+    vmask = jnp.repeat(valid, block_src, axis=1)           # [B, KB*S]
 
     def per_block(s, r, vm):
         if mixed:

@@ -167,7 +167,9 @@ def _neighbor_cache_sharded(engine, lstate, axis):
     perm = NB.sort_by_cell(x, y, cut)
     xs, ys = x[perm], y[perm]
     boxes_local = NB.block_bboxes(xs, ys, blk)                 # [B_l, 4]
-    boxes_glob = jax.lax.all_gather(boxes_local, axis, tiled=True)
+    src_local = (boxes_local if cfg.block_src == blk
+                 else NB.block_bboxes(xs, ys, cfg.block_src))
+    boxes_glob = jax.lax.all_gather(src_local, axis, tiled=True)
     d2 = NB.bbox_distance2(boxes_local, boxes_glob)            # [B_l, B_g]
     within = d2 <= cut * cut
     ranked = jnp.where(within, d2, NB.BIG)
@@ -207,6 +209,8 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
     d = jax.lax.axis_index(axis)
     size = jax.lax.axis_size(axis)
     bl = npad // blk                                  # blocks per device
+    bl_src = npad // cfg.block_src                    # SOURCE blocks/device
+    #                                                   (nbr indexes these)
 
     if cache is None:
         cache = _neighbor_cache_sharded(engine, lstate, axis)
@@ -229,8 +233,8 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
             block, fx, fy = carry
             src_h, origin = block
             # mask the table down to entries resident in this hop's pack
-            lo = origin * bl
-            in_hop = valid & (nbr >= lo) & (nbr < lo + bl)
+            lo = origin * bl_src
+            in_hop = valid & (nbr >= lo) & (nbr < lo + bl_src)
             nbr_h = jnp.where(in_hop, nbr - lo, 0)
             out = pair_kernel_dispatch(
                 cfg, engine.priority_p2r, nbr_h,

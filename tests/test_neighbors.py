@@ -133,6 +133,57 @@ def test_neighbor_forces_cutoff_error_bounded(backend):
     assert err < 1e-4, f"cutoff error {err}"
 
 
+@pytest.mark.parametrize("backend", ["xla", "interpret"])
+@pytest.mark.parametrize("block_src", [32, 16])
+def test_asymmetric_source_blocks_match_dense(backend, block_src):
+    """Finer SOURCE blocks (block_src < block): sources are the pair
+    tile's sublane dim, so shrinking the source block cuts candidate
+    pairs ~20% at no lane cost (scripts/exp_asym_blocks.py). Same pairs,
+    same math -- with a domain-covering cutoff the result must equal the
+    dense path."""
+    n, side = 256, 120.0
+    st, p = _population(n, side)
+    dense = Engine.create(p, MODELS["twod"])
+    frx_d, fry_d = dense.repulsive_sum(st)
+
+    culled = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=1e4, block=64, kb=n // block_src, backend=backend,
+        block_src=block_src))
+    frx_c, fry_c = culled.repulsive_sum_neighbors(st)
+    tol = 1e-9 if backend == "xla" else 1e-4   # interpret paths run f32
+    np.testing.assert_allclose(np.asarray(frx_c), np.asarray(frx_d),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(fry_c), np.asarray(fry_d),
+                               atol=tol)
+
+
+@pytest.mark.parametrize("block_src", [32, 8])
+def test_asymmetric_source_blocks_cutoff_error_bounded(block_src):
+    """block_src at the production cutoff: dropped tail still < 1e-4,
+    and the finer-granularity table admits FEWER candidate pairs."""
+    n, side = 512, 400.0
+    st, p = _population(n, side, seed=2)
+    dense = Engine.create(p, MODELS["twod"])
+    frx_d, fry_d = dense.repulsive_sum(st)
+    cfg = NeighborConfig(cutoff=60.0, block=64, kb=48, backend="xla",
+                         block_src=block_src)
+    culled = Engine.create(p, MODELS["twod"], neighbors=cfg)
+    frx_c, fry_c = culled.repulsive_sum_neighbors(st)
+    err = np.max(np.hypot(np.asarray(frx_c - frx_d),
+                          np.asarray(fry_c - fry_d)))
+    assert err < 1e-4, f"cutoff error {err}"
+
+    # candidate-pair accounting: finer source blocks admit fewer pairs
+    cache = culled.neighbor_cache(st)
+    sq = Engine.create(p, MODELS["twod"], neighbors=NeighborConfig(
+        cutoff=60.0, block=64, kb=48, backend="xla"))
+    cache_sq = sq.neighbor_cache(st)
+    pairs = int(np.asarray(cache[2]).sum()) * block_src
+    pairs_sq = int(np.asarray(cache_sq[2]).sum()) * 64
+    assert pairs < pairs_sq, (pairs, pairs_sq)
+    assert not np.asarray(cache[3]).any()   # no overflow at kb=48
+
+
 def test_neighbor_path_with_padding():
     """N not divisible by block: padded agents must not contribute."""
     n = 200   # pads to 256 with block 64
@@ -305,11 +356,14 @@ def test_bench_config_is_overflow_free():
 
     _, state = _build(100_000, dtype=np.float32, density=0.02,
                       hist_len=8, pad_to_block=B.BLOCK)
+    bsrc = getattr(B, "BLOCK_SRC", 0) or B.BLOCK
     cfg = NeighborConfig(cutoff=B.CUTOFF, block=B.BLOCK, kb=B.KB,
-                         rebuild_every=B.REBUILD, backend="xla")
+                         rebuild_every=B.REBUILD, backend="xla",
+                         block_src=bsrc)
     x = jnp.asarray(np.asarray(state.s[:, 0]))
     y = jnp.asarray(np.asarray(state.s[:, 1]))
-    cache = NB.build(x, y, cfg.cutoff + cfg.skin, cfg.block, cfg.kb)
+    cache = NB.build(x, y, cfg.cutoff + cfg.skin, cfg.block, cfg.kb,
+                     block_src=bsrc)
     counts = np.asarray(cache[2]).sum(1)
     assert not np.asarray(cache[3]).any(), "bench config overflows at t=0"
     assert counts.max() + 2 <= B.KB, (

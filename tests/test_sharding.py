@@ -124,7 +124,7 @@ def test_chunk_must_divide():
         eng_c.step(st)
 
 
-def _setup_culled(n, kb=None, rebuild_every=4, block=16):
+def _setup_culled(n, kb=None, rebuild_every=4, block=16, block_src=0):
     """Population on a domain LARGER than the cutoff (so culling actually
     drops tiles), with a kb sized for zero overflow unless given."""
     from cyclistsocialforce_tpu import Engine, make_state
@@ -145,8 +145,10 @@ def _setup_culled(n, kb=None, rebuild_every=4, block=16):
         st = set_destinations(st, a, (rng.uniform(-side, side),),
                               (rng.uniform(-side, side),))
     p = BicycleParams.create()
-    nbr = NeighborConfig(cutoff=60.0, block=block, kb=kb or (n // block),
-                         backend="xla", rebuild_every=rebuild_every)
+    nbr = NeighborConfig(cutoff=60.0, block=block,
+                         kb=kb or (n // (block_src or block)),
+                         backend="xla", rebuild_every=rebuild_every,
+                         block_src=block_src)
     eng_dense = Engine.create(p, MODELS["bicycle2d"], rep_force="twod")
     eng_culled = Engine.create(p, MODELS["bicycle2d"], rep_force="twod",
                                neighbors=nbr)
@@ -203,6 +205,28 @@ def test_sharded_culled_matches_single_device_culled():
     out, _ = run(shard_state(st, mesh))
     # different block partitions -> different fringe truncation; both are
     # within the cutoff bound of dense, so they agree to that tolerance
+    np.testing.assert_allclose(np.asarray(out.s[:, :2]),
+                               np.asarray(ref.s[:, :2]), atol=2e-5)
+
+
+@pytest.mark.parametrize("comm", ["allgather", "ring"])
+def test_sharded_culled_asymmetric_source_blocks(comm):
+    """block_src < block under shard_map (both comm schedules): the
+    gathered source-bbox table at finer granularity must stay within the
+    culled-truncation tolerance of the dense single-device run."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n = 512
+    eng_dense, eng_culled, st = _setup_culled(n, block=16, block_src=8)
+    n_steps = 12
+
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng_dense, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng_culled, mesh, n_steps, record=False,
+                              comm=comm)
+    out, _ = run(shard_state(st, mesh))
     np.testing.assert_allclose(np.asarray(out.s[:, :2]),
                                np.asarray(ref.s[:, :2]), atol=2e-5)
 
