@@ -29,7 +29,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/csf_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    from bench import BLOCK, CUTOFF, KB, REBUILD, audit_overflow
+    from bench import BLOCK, BLOCK_SRC, CUTOFF, KB, REBUILD, audit_overflow
 
     from __graft_entry__ import _build
     from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
@@ -42,6 +42,7 @@ def main():
                       pad_to_block=BLOCK)
     cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=KB,
                          rebuild_every=REBUILD, sub=0, screen=False,
+                         block_src=BLOCK_SRC,
                          backend="pallas" if on_tpu else "xla")
     engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
                            rep_force="twod", neighbors=cfg)
