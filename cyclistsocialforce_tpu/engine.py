@@ -809,6 +809,11 @@ class Engine(struct.PyTreeNode):
             amp = b("p_0") / p_decay
             zero = jnp.zeros((n,), dtype)
             emit = act * (amp > 0)
+            # pre-multiply the amplitude by the emit flag: non-emitting
+            # sources then produce P = 0 inside the force tiles with no
+            # per-pair mask op (the emit column stays packed for
+            # consumers that need the flag itself)
+            amp = amp * emit
             src_cols = [x, y, cpsi, spsi, amp, e,
                         1.0 / jnp.sqrt(1.0 - e * e), 1.0 / p_decay,
                         zero, zero, zero, jnp.cos(b("hfov") / 2), emit,
@@ -818,7 +823,9 @@ class Engine(struct.PyTreeNode):
             # f_0 > 0, folded here so the kernels test one column
             # instead of two
             emit = act * (b("f_0") > 0)
-            src_cols = [x, y, cpsi, spsi, b("f_0"), b("e_0"), b("e_1"),
+            # f_0 pre-multiplied by emit: see the legacy branch above
+            src_cols = [x, y, cpsi, spsi, b("f_0") * emit, b("e_0"),
+                        b("e_1"),
                         b("sigma_0"), b("sigma_1"), b("sigma_2"),
                         b("sigma_3"), jnp.cos(b("hfov") / 2), emit]
         src_pack = jnp.stack(

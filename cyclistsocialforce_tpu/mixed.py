@@ -230,7 +230,11 @@ class MixedEngine(struct.PyTreeNode):
 
         cat = jnp.concatenate
         emit = act * (cat(c4) > 0)
-        src_cols = [x, y, cpsi, spsi, cat(c4), cat(c5), cat(c6), cat(c7),
+        # f_0/amp pre-multiplied by the emit flag: non-emitting sources
+        # produce P = 0 inside the force tiles with no per-pair mask op
+        # (engine.pack_pair_fields does the same)
+        c4 = cat(c4) * emit
+        src_cols = [x, y, cpsi, spsi, c4, cat(c5), cat(c6), cat(c7),
                     cat(c8), cat(c9), cat(c10), cat(chf), emit, cat(fam)]
         src_pack = jnp.stack(
             src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS

@@ -16,9 +16,12 @@ Packing layout (built by Engine.pack_pair_fields /
 MixedEngine.pack_pair_fields_mixed):
   src_pack [N, 16]: x, y, cos psi, sin psi, f_0, e_0, e_1, sigma_0..3,
                     cos(hfov/2), emit, fam (14 used, padded to 16 lanes);
-                    column 12 (_SACT) is the folded EMIT flag
-                    (active AND f_0 > 0), column 13 (_FAM) the force
-                    family selector (mixed mode only, see below)
+                    column 4 (_F0) is PRE-MULTIPLIED by the emit flag
+                    (active AND f_0 > 0) so non-emitting sources yield
+                    P = 0 without a per-pair mask op; column 12 (_SACT)
+                    still carries the raw flag (consumed by the XLA
+                    gather backend), column 13 (_FAM) the force family
+                    selector (mixed mode only, see below)
   recv_pack [8, N]: x, y, cos psi, sin psi, active (5 used, padded)
 Both are in CELL-SORTED order; outputs are [2, N] sorted forces.
 """
@@ -231,7 +234,9 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     # pairs finite (1e15, not inf, so 0 * inv_rho stays 0) -- they are
     # dropped by the `tracked` mask (rho2 > 0) folded into `w` below
     inv_rho = jax.lax.rsqrt(jnp.maximum(rho2, 1e-30))
-    rho = rho2 * inv_rho
+    dxn = dx * inv_rho                      # unit separation vector:
+    dyn = dy * inv_rho                      # the whole field only needs
+    #                                         rho through exp(-rho/...)
 
     sin_rel = ss * cr - cs * sr
     sin2 = sin_rel * sin_rel
@@ -246,11 +251,26 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
         vdecay0 = jnp.where(legacy, 1.0, vdecay0)
         vdecay1 = jnp.where(legacy, 0.0, vdecay1)
 
-    cosphi = jnp.clip((dx * cs + dy * ss) * inv_rho, -1.0, 1.0)
-    sinphi = (dy * cs - dx * ss) * inv_rho
-    sigma = vdecay0 - vdecay1 * jnp.sqrt((1 - cosphi) * 0.5)
-    dsigm = (-vdecay1 * jnp.sqrt((1 + cosphi) * 0.5)
-             * jnp.sign(sinphi) * 0.5)
+    cosphi = dxn * cs + dyn * ss      # |cosphi| <= 1 + eps (no clip: the
+    sinphi = dyn * cs - dxn * ss      # downstream algebra tolerates eps)
+    # half-angle pieces via ONE rsqrt:
+    #   h = sqrt((1-c)/2) = m * rsqrt(m),
+    #   sign(sinphi) * sqrt((1+c)/2) = sinphi * rsqrt(m) / 2
+    # (identity: sinphi = 2 sin(phi/2) cos(phi/2), m = sin^2(phi/2)).
+    # m is computed from the COORDINATE difference, not 1 - cosphi: the
+    # latter cancels catastrophically for near-aligned pairs and rsqrt
+    # amplifies its relative error (~ulp(1)/m) straight into dsigm.
+    # The 1e-12 floor bounds the rsqrt at 1e6 so the exactly-aligned
+    # case (where f32 rounding decouples sinphi from m) keeps |dsigm|
+    # <= ~0.5 vdecay1 -- the same order as the field's own sign(sinphi)
+    # discontinuity there (the reference flips dsigm's sign across
+    # phi = 0; this form interpolates through the jump instead).
+    ax = dxn - cs
+    ay = dyn - ss
+    m = jnp.maximum((ax * ax + ay * ay) * 0.25, 1e-12)
+    rm = jax.lax.rsqrt(m)
+    sigma = vdecay0 - vdecay1 * (m * rm)
+    dsigm = vdecay1 * (sinphi * rm) * -0.25
     ec2 = 1 - (e * cosphi) ** 2             # ec2 >= 1 - e_0^2 > 0
 
     # The reference normalizes the polar force vector (f_rho, f_phi) to
@@ -262,8 +282,17 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     # which eliminates the 1/sigma^2 and 1/sqrt(ec2) chains of the
     # textbook form -- the tile is VPU-issue-bound at ~1 ps/(pair*op),
     # so every spared full-tile op is ~0.02 ms at the bench scale.
-    sigma_safe = jnp.maximum(sigma, 1e-20)  # sigma <= 0 => exp(-huge) = 0
-    P = sc(_F0) * jnp.exp(-rho * jnp.sqrt(ec2) / sigma_safe)
+    # exp argument: rho*sqrt(ec2)/sigma == sqrt(rho2*ec2)*rsqrt(sigma^2)
+    # -- merges the rho and sqrt(ec2) muls into one sqrt and replaces
+    # the divide. Clamping sigma at 0 FOLDS the sigma > 0 mask into P
+    # itself: sigma <= 0 pairs see rsqrt(tiny) = 1e15, and the exp
+    # argument -sqrt(rho2*ec2)*1e15 underflows to P = 0 exactly for any
+    # rho2 > 0 (rho2 == 0 pairs are excluded by `tracked`) -- one max op
+    # instead of a compare + and in the mask chain.
+    sig_c = jnp.maximum(sigma, 0.0)
+    P = sc(_F0) * jnp.exp(-jnp.sqrt(rho2 * ec2)
+                          * jax.lax.rsqrt(jnp.maximum(sig_c * sig_c,
+                                                      1e-30)))
     u = ec2 * sigma
     v = (e * e) * (sinphi * cosphi) * sigma - ec2 * dsigm
     inv_m = jax.lax.rsqrt(jnp.maximum(u * u + v * v, 1e-30))
@@ -271,45 +300,47 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     # mask chain (minimum count of [S, R]-shaped ops):
     #   * FOV: the receiver must lie within the SOURCE's half-FOV cone
     #     (the reference's source-indexed-FOV quirk, see
-    #     ops.forces.untracked_foes_tile);
+    #     ops.forces.untracked_foes_tile) -- in normalized form (divide
+    #     the cone test by rho > 0), sparing the chf * rho mul;
     #   * rho2 > 0 excludes the self-pair (self-distance is exactly 0)
     #     AND coincident distinct pairs (whose field is singular; the
     #     reference divides by zero for those) -- an explicit index
     #     compare would be redundant;
-    #   * emit-side activity and f_0 > 0 are FOLDED into the single
-    #     packed _SACT column by engine.pack_pair_fields (emit flag);
-    #   * sigma > 0 guards the vdecay polynomial going non-physical.
+    #   * emit-side activity and f_0 > 0 are PRE-MULTIPLIED into the
+    #     packed _F0 column by engine.pack_pair_fields (P = 0 for
+    #     non-emitting sources), so no source mask op is needed here;
+    #   * sigma <= 0 (non-physical vdecay polynomial) is folded into P
+    #     via the max(sigma, 0) clamp above -- no mask op either.
     tracked = rho2 > 0.0
     if fov:
         # with fov=False (every agent's hfov == 2 pi, the reference's
-        # Vehicle default) the cone test is statically elided (~6 full-
-        # tile ops)
-        rho_cos_rel = -(dx * cr + dy * sr)
-        tracked &= rho_cos_rel >= sc(_CHF) * rho   # rho-scaled form
+        # Vehicle default) the cone test is statically elided (~5 full-
+        # tile ops). The sign flip rides the [S, 1] column, not the
+        # [S, R] dot product.
+        tracked &= (dxn * cr + dyn * sr) <= -sc(_CHF)
     if priority_p2r:
-        rho_sin_rel = -(dy * cr - dx * sr)
-        tracked &= rho_sin_rel <= 0
-    tracked &= (sc(_SACT) > 0) & (act_r > 0)   # cheap [S,1] / [1,R] cmps
-    tracked &= sigma > 0
+        tracked &= (dyn * cr - dxn * sr) >= 0
+    tracked &= act_r > 0                    # cheap [1, R] cmp
 
     # fold the mask into the shared scale: masked pairs contribute w = 0,
     # so no per-component where is needed before the reduction
-    w = jnp.where(tracked, P * inv_m * inv_rho, 0.0)
-    fx_pair = w * (u * dx - v * dy)
-    fy_pair = w * (u * dy + v * dx)
+    w = jnp.where(tracked, P * inv_m, 0.0)
+    fx_pair = w * (u * dxn - v * dyn)
+    fy_pair = w * (u * dyn + v * dxn)
 
     if mixed:
         # legacy v0.1 elliptic field (ops.forces.rep_force_legacy_pair):
         # cols: _F0 = amp, _E0 = e, _E1 = 1/sqrt(1-e^2), _S0 = 1/p_decay
+        rho = rho2 * inv_rho
         e_l, inv_se, inv_pd = sc(_E0), sc(_E1), sc(_S0)
         u_l = (1 - e_l * cosphi) * inv_se
         P_l = sc(_F0) * jnp.exp(-rho * u_l * inv_pd)
         frho0 = P_l * u_l
         fphi0 = P_l * e_l * sinphi * inv_se
-        w_l = jnp.where(tracked, inv_rho, 0.0)
-        fx_pair = jnp.where(legacy, w_l * (frho0 * dx - fphi0 * dy),
+        w_l = jnp.where(tracked, 1.0, 0.0)
+        fx_pair = jnp.where(legacy, w_l * (frho0 * dxn - fphi0 * dyn),
                             fx_pair)
-        fy_pair = jnp.where(legacy, w_l * (frho0 * dy + fphi0 * dx),
+        fy_pair = jnp.where(legacy, w_l * (frho0 * dyn + fphi0 * dxn),
                             fy_pair)
 
     fx = jnp.sum(fx_pair, axis=0, keepdims=True)

@@ -24,12 +24,18 @@ def main():
     ap.add_argument("--variant", default="full",
                     choices=("full", "nopair", "norebuild"))
     ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--kb", type=int, default=0,
+                    help="override the table capacity (extra slots are "
+                         "sentinels: same pairs, more grid steps -- "
+                         "isolates the per-grid-step fixed cost)")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/csf_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from bench import BLOCK, BLOCK_SRC, CUTOFF, KB
 
     from __graft_entry__ import _build
     from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
@@ -39,9 +45,10 @@ def main():
     n = 100_000
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(n, dtype=np.float32, density=0.02, hist_len=8,
-                      pad_to_block=128)
+                      pad_to_block=BLOCK)
     rebuild = 1_000_000 if args.variant == "norebuild" else 20
-    cfg = NeighborConfig(cutoff=50.0, block=128, kb=13,
+    cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=args.kb or KB,
+                         block_src=BLOCK_SRC,
                          rebuild_every=rebuild, sub=0, screen=False,
                          backend="pallas" if on_tpu else "xla")
     if args.variant == "nopair":

@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--rep", default="on")
     ap.add_argument("--agents", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--hist", type=int, default=128)
     ap.add_argument("--out", default=None, help="write full HLO text here")
     args = ap.parse_args()
 
@@ -35,7 +36,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(args.agents, dtype=np.float32, density=0.02,
-                      hist_len=128, pad_to_block=128)
+                      hist_len=args.hist, pad_to_block=128)
     cfg = NeighborConfig(cutoff=50.0, block=128, kb=14, rebuild_every=20,
                          screen=False,
                          backend=args.backend if on_tpu else "xla")
