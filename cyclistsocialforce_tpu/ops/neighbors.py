@@ -26,6 +26,7 @@ detected with `neighbor_overflow`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 BIG = jnp.float32(3.4e38)
@@ -121,11 +122,21 @@ def neighbor_block_table(bboxes, cutoff, kb: int, src_bboxes=None):
         src_bboxes = bboxes
     d2 = bbox_distance2(bboxes, src_bboxes)              # [B, B_src]
     within = d2 <= cutoff * cutoff
-    # rank by distance; out-of-range blocks pushed to +inf
-    ranked = jnp.where(within, d2, BIG)
-    order = jnp.argsort(ranked, axis=1)[:, :kb].astype(jnp.int32)
-    dsel = jnp.take_along_axis(ranked, order, axis=1)
-    valid = dsel < BIG
+    # kb closest via top_k on the NEGATED distance (out-of-range pushed
+    # to -BIG), NOT a row argsort: argsort sorts the full [B, B_src]
+    # matrix (1.2e8 elements at N = 1e6 -- the rebuild's dominant cost
+    # at that scale), while top_k selects kb of B_src per row
+    neg = jnp.where(within, -d2, -BIG)
+    k_eff = min(kb, neg.shape[1])        # kb may exceed the block count
+    dneg, order = jax.lax.top_k(neg, k_eff)              # descending neg
+    order = order.astype(jnp.int32)                      # == closest first
+    valid = dneg > -BIG
+    if k_eff < kb:                       # pad the capacity with invalids
+        b = neg.shape[0]
+        order = jnp.concatenate(
+            [order, jnp.zeros((b, kb - k_eff), jnp.int32)], axis=1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((b, kb - k_eff), bool)], axis=1)
     overflow = jnp.sum(within, axis=1) > kb
     # invalid entries hold ANY in-bounds source index (they are masked by
     # `valid` in the XLA path and re-encoded as DMA-eliding sign sentinels

@@ -170,14 +170,8 @@ def _neighbor_cache_sharded(engine, lstate, axis):
     src_local = (boxes_local if cfg.block_src == blk
                  else NB.block_bboxes(xs, ys, cfg.block_src))
     boxes_glob = jax.lax.all_gather(src_local, axis, tiled=True)
-    d2 = NB.bbox_distance2(boxes_local, boxes_glob)            # [B_l, B_g]
-    within = d2 <= cut * cut
-    ranked = jnp.where(within, d2, NB.BIG)
-    order = jnp.argsort(ranked, axis=1)[:, :cfg.kb].astype(jnp.int32)
-    dsel = jnp.take_along_axis(ranked, order, axis=1)
-    valid = dsel < NB.BIG
-    overflow = jnp.sum(within, axis=1) > cfg.kb
-    nbr = jnp.where(valid, order, 0)
+    nbr, valid, overflow = NB.neighbor_block_table(
+        boxes_local, cut, cfg.kb, src_bboxes=boxes_glob)
     return perm, nbr, valid, overflow
 
 
