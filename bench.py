@@ -35,7 +35,8 @@ import numpy as np
 #  * block_src=64 sources: sources are the tile's SUBLANE dim
 #    (granularity 8, no lane waste), so the finer source granularity
 #    admits ~20% fewer candidate pairs (875 vs 1098 per agent,
-#    scripts/exp_asym_blocks.py) -- measured 5.78 -> 5.23 ms/step.
+#    scripts/exp_asym_blocks.py) -- measured 5.78 -> 5.23 ms/step
+#    (4.97-5.06 after the round-3 pair-tile normalized-vector trim).
 #    block_src=32 measures WORSE (6.20 ms): the per-grid-step pipeline
 #    overhead at kb=31 eats the remaining pair reduction
 #  * kb=19: capacity margin 2 over the audited max in-range count (17
