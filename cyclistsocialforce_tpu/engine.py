@@ -1263,10 +1263,67 @@ _ALL_AGENT_FIELDS = _PER_AGENT_FIELDS + ("i", "pos_hist", "active")
 
 
 def permute_state(state: AgentState, perm) -> AgentState:
-    """Reorder the agent rows of every per-agent array by `perm` (one bulk
-    gather per field; used once per rebuild chunk by the sorted-resident
-    simulate path)."""
-    upd = {f: getattr(state, f)[perm] for f in _ALL_AGENT_FIELDS}
+    """Reorder the agent rows of every per-agent array by `perm` (used
+    once per rebuild chunk by the sorted-resident simulate path).
+
+    The fields are CONCATENATED into ONE flat [N, K] matrix and gathered
+    once, then split back: TPU row gathers are per-ROW bound (width
+    barely matters), so the 19 per-field gathers of the naive form --
+    many with tiny minor dims ([N], [N, 2], [N, 3] bool) -- cost ~19x
+    one packed gather. Measured end-to-end at N = 1e6 (the per-call
+    numbers are swamped by the ~58 ms remote-tunnel dispatch latency):
+    72.4 -> 56.8 ms/step, i.e. ~310 ms saved per rebuild. Int/bool
+    fields ride the float matrix via an exact int32 conversion + 4-byte
+    bitcast (bit movement only -- gather/concat/slice never do
+    arithmetic on the bitcast lanes); the float64 path (CPU tests) keeps
+    a separate int gather instead of bitcasting (width mismatch)."""
+    n = state.n
+    fdt = state.s.dtype
+    bitcast = jax.lax.bitcast_convert_type
+    f32 = fdt == jnp.float32
+
+    flt, ints = [], []    # (field, restshape, cols, dtype)
+    for f in _ALL_AGENT_FIELDS:
+        a = getattr(state, f)
+        cols = 1
+        for d in a.shape[1:]:
+            cols *= d
+        ent = (f, a.shape[1:], cols, a.dtype)
+        if jnp.issubdtype(a.dtype, jnp.integer) or a.dtype == jnp.bool_:
+            ints.append(ent)
+        else:
+            flt.append(ent)
+
+    mats = [getattr(state, f).reshape(n, cols)
+            for f, _, cols, _ in flt]
+    imats = [getattr(state, f).reshape(n, cols).astype(jnp.int32)
+             for f, _, cols, _ in ints]
+    # optimization_barrier MATERIALIZES the packed matrix on both sides
+    # of the gather so XLA cannot fuse the concat into the gather (or
+    # the downstream slices into per-field gathers), which would
+    # silently undo the packing
+    barrier = jax.lax.optimization_barrier
+    if f32:
+        mats += [bitcast(m, jnp.float32) for m in imats]
+        packed = barrier(barrier(jnp.concatenate(mats, axis=1))[perm])
+        ipacked = None
+    else:
+        packed = barrier(barrier(jnp.concatenate(mats, axis=1))[perm])
+        ipacked = barrier(barrier(jnp.concatenate(imats, axis=1))[perm])
+
+    upd = {}
+    off = 0
+    for f, rest, cols, dt in flt:
+        upd[f] = packed[:, off:off + cols].reshape((n,) + rest)
+        off += cols
+    ioff = 0 if ipacked is not None else off
+    src = packed if ipacked is None else ipacked
+    for f, rest, cols, dt in ints:
+        sl = src[:, ioff:ioff + cols]
+        if ipacked is None:
+            sl = bitcast(sl, jnp.int32)
+        upd[f] = sl.astype(dt).reshape((n,) + rest)
+        ioff += cols
     return state.replace(**upd)
 
 

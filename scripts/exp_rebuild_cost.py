@@ -1,6 +1,11 @@
 """Isolate the neighbor-REBUILD cost at scale (one variant per process;
 the remote tunnel corrupts repeated small-program sequences).
 
+CAVEAT: single-program timings through the remote tunnel carry a
+~58 ms FIXED dispatch latency -- read these numbers only relative to
+each other, and confirm wins end-to-end with exp_scale_1m.py /
+exp_headline_split.py (amortized scans).
+
 Variants:
   build    full NB.build (sort keys + argsort + bboxes + table)
   sort     cell keys + argsort only

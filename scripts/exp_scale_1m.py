@@ -22,6 +22,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--rebuild", type=int, default=0,
+                    help="override rebuild_every (0 = bench default); "
+                         "the skin scales with it, so larger values "
+                         "trade pair-stage width for rebuild count")
+    ap.add_argument("--kb", type=int, default=0,
+                    help="override the table capacity (needed when a "
+                         "larger skin widens the in-range count)")
     args = ap.parse_args()
 
     import jax
@@ -40,9 +47,9 @@ def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(n, dtype=np.float32, density=0.02, hist_len=8,
                       pad_to_block=BLOCK)
-    cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=KB,
-                         rebuild_every=REBUILD, sub=0, screen=False,
-                         block_src=BLOCK_SRC,
+    cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=args.kb or KB,
+                         rebuild_every=args.rebuild or REBUILD,
+                         sub=0, screen=False, block_src=BLOCK_SRC,
                          backend="pallas" if on_tpu else "xla")
     engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
                            rep_force="twod", neighbors=cfg)
