@@ -547,6 +547,34 @@ def build_neighbor_cache(cfg: NeighborConfig, state):
                     block_src=cfg.block_src)
 
 
+def sorted_packs(src_pack, perm, npad, dtype):
+    """ONE per-row-bound gather for the per-step sort: the receiver pack
+    is derived from the sorted source pack (cols 0-3 + the activity flag
+    parked in the last pad lane by pack_pair_fields) via a cheap
+    transpose instead of a second [8, N] axis-1 gather -- TPU gathers
+    cost per ROW, so halving the gather count halves the per-step sort
+    cost of the non-sorted-resident paths. The optimization_barrier
+    keeps XLA from fusing the gather into both consumers (which would
+    duplicate it)."""
+    from cyclistsocialforce_tpu.ops import pallas_forces as PF
+
+    src_sorted = jax.lax.optimization_barrier(src_pack[perm])
+    recv_cols = jnp.concatenate(
+        [src_sorted[:, :4], src_sorted[:, PF._RACT:PF._RACT + 1]],
+        axis=1).T
+    recv_sorted = jnp.concatenate(
+        [recv_cols, jnp.zeros((PF.RECV_ROWS - 5, npad), dtype)], axis=0)
+    return src_sorted, recv_sorted
+
+
+def unsort_forces(out, perm, npad, n, dtype):
+    """Scatter the [2, npad] sorted force rows back to original agent
+    order with ONE fused [npad, 2] row scatter (TPU scatters are per-row
+    bound like gathers)."""
+    sc = jnp.zeros((npad, 2), dtype).at[perm].set(out.T)
+    return sc[:n, 0], sc[:n, 1]
+
+
 def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
                          nbr, valid, src_sorted, recv_sorted,
                          recv_offset=None, mixed: bool = False,
@@ -828,9 +856,12 @@ class Engine(struct.PyTreeNode):
                         b("e_1"),
                         b("sigma_0"), b("sigma_1"), b("sigma_2"),
                         b("sigma_3"), jnp.cos(b("hfov") / 2), emit]
-        src_pack = jnp.stack(
-            src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS
-                                                   - len(src_cols)), axis=1)
+        pad_cols = [jnp.zeros((n,), dtype)] * (PF.SRC_COLS - 1
+                                               - len(src_cols))
+        # the last pad lane (PF._RACT) carries the receiver-side activity
+        # flag so the non-sorted-resident path can derive the receiver
+        # pack from the single sorted source pack (one gather, not two)
+        src_pack = jnp.stack(src_cols + pad_cols + [act], axis=1)
         recv_rows = [x, y, cpsi, spsi, act]
         recv_pack = jnp.stack(
             recv_rows + [jnp.zeros((n,), dtype)] * (PF.RECV_ROWS
@@ -979,13 +1010,9 @@ class Engine(struct.PyTreeNode):
         if cache is None:
             cache = self.neighbor_cache(state)
         perm, nbr, valid = cache[0], cache[1], cache[2]
-        src_sorted = src_pack[perm]
-        recv_sorted = recv_pack[:, perm]
-
+        src_sorted, recv_sorted = sorted_packs(src_pack, perm, npad, dtype)
         out = self.pair_kernel_dispatch(nbr, valid, src_sorted, recv_sorted)
-        fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
-        fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
-        return fx, fy
+        return unsort_forces(out, perm, npad, n, dtype)
 
     def calc_forces(self, state: AgentState, nbr_cache=None,
                     presorted: bool = False):

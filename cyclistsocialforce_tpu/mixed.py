@@ -236,9 +236,10 @@ class MixedEngine(struct.PyTreeNode):
         c4 = cat(c4) * emit
         src_cols = [x, y, cpsi, spsi, c4, cat(c5), cat(c6), cat(c7),
                     cat(c8), cat(c9), cat(c10), cat(chf), emit, cat(fam)]
-        src_pack = jnp.stack(
-            src_cols + [jnp.zeros((n,), dtype)] * (PF.SRC_COLS
-                                                   - len(src_cols)), axis=1)
+        pad_cols = [jnp.zeros((n,), dtype)] * (PF.SRC_COLS - 1
+                                               - len(src_cols))
+        # last pad lane = receiver activity flag (engine.sorted_packs)
+        src_pack = jnp.stack(src_cols + pad_cols + [act], axis=1)
         recv_rows = [x, y, cpsi, spsi, act]
         recv_pack = jnp.stack(
             recv_rows + [jnp.zeros((n,), dtype)] * (PF.RECV_ROWS
@@ -268,13 +269,13 @@ class MixedEngine(struct.PyTreeNode):
         if cache is None:
             cache = eng.build_neighbor_cache(cfg, state)
         perm, nbr, valid = cache[0], cache[1], cache[2]
+        src_sorted, recv_sorted = eng.sorted_packs(src_pack, perm, npad,
+                                                   dtype)
         out = eng.pair_kernel_dispatch(
             cfg, self.priority_p2r, nbr, valid,
-            src_pack[perm], recv_pack[:, perm], mixed=True,
+            src_sorted, recv_sorted, mixed=True,
             fov=not self.full_fov)
-        fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:n]
-        fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:n]
-        return fx, fy
+        return eng.unsort_forces(out, perm, npad, n, dtype)
 
     def calc_forces(self, state: AgentState, nbr_cache=None):
         fdx, fdy, state = self._dest_forces(state)

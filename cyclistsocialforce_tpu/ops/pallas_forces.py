@@ -46,6 +46,11 @@ RECV_ROWS = 8
 # shared sigma/emit mask chain stays well-defined whatever they hold).
 _SX, _SY, _SC, _SS, _F0, _E0, _E1, _S0, _S1, _S2, _S3, _CHF, _SACT, \
     _FAM = range(14)
+# column 15 (the last pad lane) carries the RECEIVER-side activity flag:
+# the non-sorted-resident path derives the receiver pack from the single
+# sorted source pack (src cols 0-3 + this) instead of gathering a second
+# [8, N] pack by the same permutation (TPU gathers are per-row bound)
+_RACT = 15
 
 
 def _flat_sentinel_table(nbr, valid):

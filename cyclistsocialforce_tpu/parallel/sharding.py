@@ -210,12 +210,14 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
         cache = _neighbor_cache_sharded(engine, lstate, axis)
     perm, nbr, valid = cache[0], cache[1], cache[2]
 
+    from cyclistsocialforce_tpu.engine import sorted_packs, unsort_forces
+
     src_pack, recv_pack = engine.pack_pair_fields(lstate, npad)
     if presorted:
         src_sorted, recv_sorted = src_pack, recv_pack
     else:
-        src_sorted = src_pack[perm]
-        recv_sorted = recv_pack[:, perm]
+        src_sorted, recv_sorted = sorted_packs(src_pack, perm, npad,
+                                               dtype)
     roff = (d * bl).astype(jnp.int32)[None]
 
     if comm == "ring":
@@ -250,9 +252,8 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
 
     if presorted:
         return out[0][:nl], out[1][:nl]
-    fx = jnp.zeros((npad,), dtype).at[perm].set(out[0])[:nl]
-    fy = jnp.zeros((npad,), dtype).at[perm].set(out[1])[:nl]
-    return fx, fy
+    return unsort_forces(jnp.stack([out[0], out[1]]), perm, npad, nl,
+                         dtype)
 
 
 def _check_sharded_support(engine, comm):
