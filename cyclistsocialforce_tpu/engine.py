@@ -530,6 +530,33 @@ def _hfov_is_full(params) -> bool:
     return bool(np.all(h >= 2.0 * np.pi - 1e-9))
 
 
+def _uniform_pair_params(params):
+    """Host-side check at engine build time: is each twod pair-field
+    parameter ONE shared value across the population (scalar params, or
+    an `as_population` broadcast)? If so, return them as a static
+    (e_0, e_1, sigma_0..3, cos(hfov/2)) float tuple -- the Pallas tile
+    then bakes them in as compile-time constants, eliding 7 of its 12
+    per-tile [S, 1] column extract + lane-broadcast pairs, which
+    dominate the ~0.15 us per-tile fixed cost at block_src = 64
+    (scripts/exp_kernel_compare.py). Traced / per-agent-heterogeneous
+    params conservatively return None (the columns stay live). f_0 is
+    NOT baked: its column carries the per-agent emit flag pre-multiply
+    either way."""
+    vals = []
+    try:
+        for f in ("e_0", "e_1", "sigma_0", "sigma_1", "sigma_2",
+                  "sigma_3", "hfov"):
+            v = np.asarray(jax.device_get(getattr(params, f)))
+            flat = v.reshape(-1)
+            if flat.size == 0 or np.ptp(flat) != 0:
+                return None
+            vals.append(float(flat[0]))
+    except Exception:   # noqa: BLE001 - traced/missing -> general path
+        return None
+    vals[-1] = float(np.cos(0.5 * vals[-1]))     # hfov -> cos(hfov/2)
+    return tuple(vals)
+
+
 def build_neighbor_cache(cfg: NeighborConfig, state):
     """Culling structure (perm, nbr, valid, overflow) over the padded
     population with the skin-extended cutoff (shared by Engine and
@@ -578,9 +605,12 @@ def unsort_forces(out, perm, npad, n, dtype):
 def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
                          nbr, valid, src_sorted, recv_sorted,
                          recv_offset=None, mixed: bool = False,
-                         fov: bool = True):
+                         fov: bool = True, uniform=None):
     """Run the configured neighbor-tile backend; [2, B*block] sorted
-    forces. src/recv must already be in cell-sorted order."""
+    forces. src/recv must already be in cell-sorted order. `uniform`
+    optionally bakes shared scalar pair-field params into the Pallas
+    tiles as compile-time constants (Engine.uniform_pair; ignored by the
+    xla and db backends)."""
     from cyclistsocialforce_tpu.ops import pallas_forces as PF
 
     blk = cfg.block
@@ -593,14 +623,12 @@ def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
             priority_p2r=priority_p2r, recv_offset=recv_offset,
             mixed=mixed, fov=fov, block_src=bs)
     if cfg.backend in ("pallas_unrolled", "interpret_unrolled"):
-        if bs != blk:
-            raise ValueError("the unrolled-DMA backend does not support "
-                             "block_src != block; use 'pallas'")
         return PF.pair_forces_neighbors_unrolled(
             nbr, valid, f32(src_sorted), f32(recv_sorted), block=blk,
             priority_p2r=priority_p2r,
             interpret=(cfg.backend == "interpret_unrolled"),
-            recv_offset=recv_offset, mixed=mixed, fov=fov).astype(dtype)
+            recv_offset=recv_offset, mixed=mixed, fov=fov,
+            block_src=bs, uniform=uniform).astype(dtype)
     if cfg.backend in ("pallas_db", "interpret_db"):
         if bs != blk:
             raise ValueError("the double-buffered backend does not "
@@ -617,7 +645,7 @@ def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
         interpret=(cfg.backend == "interpret"),
         cutoff=cfg.cutoff, recv_offset=recv_offset,
         mixed=mixed, sub=cfg.sub, screen=cfg.screen, fov=fov,
-        block_src=bs).astype(dtype)
+        block_src=bs, uniform=uniform).astype(dtype)
 
 
 class RoadElements(struct.PyTreeNode):
@@ -707,6 +735,14 @@ class Engine(struct.PyTreeNode):
     # Vehicle default): the kernels then elide the FOV cone test
     # statically (semantically a no-op, ~6 full-tile ops/pair saved).
     full_fov: bool = struct.field(pytree_node=False, default=False)
+    # Static (e_0, e_1, sigma_0..3, cos(hfov/2)) tuple when the twod
+    # pair-field params are one shared value per field (detected at
+    # create() -- see _uniform_pair_params); the Pallas tiles bake them
+    # in as constants. None = per-agent columns. NOTE: set by create();
+    # an engine.replace(params=...) that changes these values must also
+    # refresh uniform_pair (or clear it to None).
+    uniform_pair: tuple | None = struct.field(pytree_node=False,
+                                              default=None)
 
     @classmethod
     def create(cls, params, model, road=None, dest_force=None,
@@ -754,7 +790,9 @@ class Engine(struct.PyTreeNode):
                    rep_chunk=rep_chunk, rep_reduce=rep_reduce,
                    combine_forces=combine, neighbors=neighbors,
                    pair_family=family, sorted_resident=sorted_resident,
-                   full_fov=_hfov_is_full(params))
+                   full_fov=_hfov_is_full(params),
+                   uniform_pair=(_uniform_pair_params(params)
+                                 if family == "twod" else None))
 
     # ---- one simulation step ----
 
@@ -891,7 +929,9 @@ class Engine(struct.PyTreeNode):
         return pair_kernel_dispatch(self.neighbors, self.priority_p2r,
                                     nbr, valid, src_sorted, recv_sorted,
                                     recv_offset=recv_offset, mixed=mixed,
-                                    fov=not self.full_fov)
+                                    fov=not self.full_fov,
+                                    uniform=None if mixed
+                                    else self.uniform_pair)
 
     def repulsive_sum_neighbors_generic(self, state: AgentState,
                                         cache=None):

@@ -75,7 +75,7 @@ def _flat_sentinel_table(nbr, valid):
 def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
                  *, block: int, kb: int, priority_p2r: bool, cutoff2: float,
                  mixed: bool = False, sub: int = 0, screen: bool = True,
-                 fov: bool = True, block_src: int = 0):
+                 fov: bool = True, block_src: int = 0, uniform=None):
     block_src = block_src or block
     b = pl.program_id(0)
     k = pl.program_id(1)
@@ -95,7 +95,7 @@ def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
             # forces a vector->scalar SREG roundtrip (~0.25 us pipeline
             # stall per tile) that costs more than it saves
             fx, fy = _tile_forces(src_ref, recv_ref, priority_p2r,
-                                  mixed=mixed, fov=fov)
+                                  mixed=mixed, fov=fov, uniform=uniform)
             out_ref[0:1, :] += fx
             out_ref[1:2, :] += fy
         elif sub:
@@ -114,7 +114,8 @@ def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
                 @pl.when(rho2_min <= cutoff2)
                 def _strip(strip=strip):
                     fx, fy = _tile_forces(strip, recv_ref, priority_p2r,
-                                          mixed=mixed, fov=fov)
+                                          mixed=mixed, fov=fov,
+                                          uniform=uniform)
                     out_ref[0:1, :] += fx
                     out_ref[1:2, :] += fy
         else:
@@ -127,7 +128,8 @@ def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
             @pl.when(rho2_min <= cutoff2)
             def _inner():
                 fx, fy = _tile_forces(src_ref, recv_ref, priority_p2r,
-                                      mixed=mixed, fov=fov)
+                                      mixed=mixed, fov=fov,
+                                      uniform=uniform)
                 out_ref[0:1, :] += fx
                 out_ref[1:2, :] += fy
 
@@ -135,14 +137,16 @@ def _pair_kernel(tab_ref, roff_ref, src_ref, recv_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
                                              "interpret", "cutoff",
                                              "mixed", "sub", "screen",
-                                             "fov", "block_src"))
+                                             "fov", "block_src",
+                                             "uniform"))
 def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
                           priority_p2r: bool = False,
                           interpret: bool = False,
                           cutoff: float = float("inf"),
                           recv_offset=None, mixed: bool = False,
                           sub: int = 0, screen: bool = True,
-                          fov: bool = True, block_src: int = 0):
+                          fov: bool = True, block_src: int = 0,
+                          uniform=None):
     """Block-sparse pairwise force sum.
 
     nbr, valid : [B, KB] neighbor-block table (ops.neighbors); `nbr`
@@ -194,7 +198,8 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
     kernel = functools.partial(_pair_kernel, block=block, kb=kb,
                                priority_p2r=priority_p2r, cutoff2=c2,
                                mixed=mixed, sub=sub, screen=screen,
-                               fov=fov, block_src=block_src)
+                               fov=fov, block_src=block_src,
+                               uniform=uniform)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -211,7 +216,7 @@ def pair_forces_neighbors(nbr, valid, src_pack, recv_pack, block: int = 128,
 
 
 def _tile_forces(src_tile, recv_ref, priority_p2r,
-                 mixed: bool = False, fov: bool = True):
+                 mixed: bool = False, fov: bool = True, uniform=None):
     """[S, T] tile math + mask; returns (fx_row, fy_row) [1, T] sums.
     Shared by both kernels; src_tile is a [S, 16] VMEM array/ref value
     (a whole source block, or a strip of one). Self-pairs are excluded
@@ -221,7 +226,17 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     BMD2023 twod field and the legacy v0.1 elliptic field (cols 4-7
     reinterpreted -- see the layout comment at the top). Both branches are
     evaluated on the VPU and lane-selected; the legacy math is ~1/3 the
-    twod op count, so the mixed tile costs ~1.3x a pure twod tile."""
+    twod op count, so the mixed tile costs ~1.3x a pure twod tile.
+
+    uniform: optional compile-time (e_0, e_1, sigma_0..3, cos(hfov/2))
+    floats for a population whose pair-field parameters are one shared
+    scalar per field (the common case; detected host-side at engine
+    build). The 7 parameter columns then become baked constants, and the
+    per-tile [S, 1] column extract + lane-broadcast pairs they cost --
+    a large share of the ~0.15 us/tile fixed overhead measured by
+    scripts/exp_kernel_compare.py -- disappear. Mutually exclusive with
+    `mixed` (heterogeneous rows are never uniform)."""
+    assert uniform is None or not mixed
     def sc(c):
         return src_tile[:, c:c + 1]
 
@@ -243,40 +258,67 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     dyn = dy * inv_rho                      # the whole field only needs
     #                                         rho through exp(-rho/...)
 
-    sin_rel = ss * cr - cs * sr
+    # HOISTED BROADCASTS: Mosaic materializes one [S, 1] -> [S, T] (or
+    # [1, T] -> [S, T]) lane/sublane broadcast PER USE SITE -- each costs
+    # the same 8 vreg-ops as a full-tile arith op (scripts/
+    # exp_mosaic_dump.py counted 25 of them in the shipped tile, ~15% of
+    # the issue slots). Columns/rows consumed more than once are
+    # broadcast explicitly ONCE here so every later use is a plain
+    # full-tile operand.
+    shp = rho2.shape
+    cs_b = jnp.broadcast_to(cs, shp)
+    ss_b = jnp.broadcast_to(ss, shp)
+    cr_b = jnp.broadcast_to(cr, shp)
+    sr_b = jnp.broadcast_to(sr, shp)
+
+    sin_rel = ss_b * cr_b - cs_b * sr_b
     sin2 = sin_rel * sin_rel
-    vdecay0 = sc(_S0) + sc(_S1) * sin2
-    vdecay1 = sc(_S2) + sc(_S3) * sin2
-    e = sc(_E0) - sc(_E1) * sin2
+    # vd1h == vdecay1 / 2: the half-angle algebra below only ever needs
+    # the HALVED vdecay1 (via th), so the 0.5 is folded into the cheap
+    # [S, 1] column ops (or the baked constants) instead of a full-tile
+    # mul
+    if uniform is not None:
+        e0u, e1u, s0u, s1u, s2u, s3u, _chfu = uniform
+        vdecay0 = s0u + s1u * sin2
+        vd1h = 0.5 * s2u + (0.5 * s3u) * sin2
+        e = e0u - e1u * sin2
+    else:
+        vdecay0 = sc(_S0) + sc(_S1) * sin2
+        vd1h = sc(_S2) * 0.5 + (sc(_S3) * 0.5) * sin2
+        e = sc(_E0) - sc(_E1) * sin2
     if mixed:
         # the legacy branch reuses cols 4-7; keep the twod branch's
         # intermediates well-defined on legacy rows (selected away below)
         legacy = sc(_FAM) > 0.5
         e = jnp.where(legacy, 0.0, e)
         vdecay0 = jnp.where(legacy, 1.0, vdecay0)
-        vdecay1 = jnp.where(legacy, 0.0, vdecay1)
+        vd1h = jnp.where(legacy, 0.0, vd1h)
 
-    cosphi = dxn * cs + dyn * ss      # |cosphi| <= 1 + eps (no clip: the
-    sinphi = dyn * cs - dxn * ss      # downstream algebra tolerates eps)
-    # half-angle pieces via ONE rsqrt:
-    #   h = sqrt((1-c)/2) = m * rsqrt(m),
-    #   sign(sinphi) * sqrt((1+c)/2) = sinphi * rsqrt(m) / 2
-    # (identity: sinphi = 2 sin(phi/2) cos(phi/2), m = sin^2(phi/2)).
-    # m is computed from the COORDINATE difference, not 1 - cosphi: the
+    cosphi = dxn * cs_b + dyn * ss_b  # |cosphi| <= 1 + eps (no clip: the
+    sinphi = dyn * cs_b - dxn * ss_b  # downstream algebra tolerates eps)
+    # half-angle pieces via ONE rsqrt, in the UNSCALED m4 = ax^2 + ay^2
+    # = 4 sin^2(phi/2) form (saves the 0.25 scale op):
+    #   sin(phi/2)      = 0.5 * m4 * rsqrt(m4)
+    #   dsigm's rm term = sinphi * rsqrt(m4) * -0.5
+    # so with th = 0.5 * vdecay1 * rsqrt(m4), shared by both:
+    #   sigma = vdecay0 - m4 * th,   -dsigm = th * sinphi
+    # (identity: sinphi = 2 sin(phi/2) cos(phi/2)).
+    # m4 is computed from the COORDINATE difference, not 1 - cosphi: the
     # latter cancels catastrophically for near-aligned pairs and rsqrt
     # amplifies its relative error (~ulp(1)/m) straight into dsigm.
-    # The 1e-12 floor bounds the rsqrt at 1e6 so the exactly-aligned
-    # case (where f32 rounding decouples sinphi from m) keeps |dsigm|
+    # The 4e-12 floor bounds the rsqrt so the exactly-aligned case
+    # (where f32 rounding decouples sinphi from m4) keeps |dsigm|
     # <= ~0.5 vdecay1 -- the same order as the field's own sign(sinphi)
     # discontinuity there (the reference flips dsigm's sign across
     # phi = 0; this form interpolates through the jump instead).
-    ax = dxn - cs
-    ay = dyn - ss
-    m = jnp.maximum((ax * ax + ay * ay) * 0.25, 1e-12)
-    rm = jax.lax.rsqrt(m)
-    sigma = vdecay0 - vdecay1 * (m * rm)
-    dsigm = vdecay1 * (sinphi * rm) * -0.25
-    ec2 = 1 - (e * cosphi) ** 2             # ec2 >= 1 - e_0^2 > 0
+    ax = dxn - cs_b
+    ay = dyn - ss_b
+    m4 = jnp.maximum(ax * ax + ay * ay, 4e-12)
+    th = vd1h * jax.lax.rsqrt(m4)
+    sigma = vdecay0 - m4 * th
+    ndsigm = th * sinphi                    # == -dsigm
+    ecos = e * cosphi
+    ec2 = 1 - ecos * ecos                   # ec2 >= 1 - e_0^2 > 0
 
     # The reference normalizes the polar force vector (f_rho, f_phi) to
     # magnitude P and rotates it to Cartesian (vehicle.py:1560-1648).
@@ -289,17 +331,19 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     # so every spared full-tile op is ~0.02 ms at the bench scale.
     # exp argument: rho*sqrt(ec2)/sigma == sqrt(rho2*ec2)*rsqrt(sigma^2)
     # -- merges the rho and sqrt(ec2) muls into one sqrt and replaces
-    # the divide. Clamping sigma at 0 FOLDS the sigma > 0 mask into P
-    # itself: sigma <= 0 pairs see rsqrt(tiny) = 1e15, and the exp
-    # argument -sqrt(rho2*ec2)*1e15 underflows to P = 0 exactly for any
-    # rho2 > 0 (rho2 == 0 pairs are excluded by `tracked`) -- one max op
-    # instead of a compare + and in the mask chain.
-    sig_c = jnp.maximum(sigma, 0.0)
+    # the divide. Clamping sigma at 1e-15 (not 0) FOLDS the sigma > 0
+    # mask into P itself AND spares the rsqrt-argument floor: sigma <= 0
+    # pairs see rsqrt(1e-30) = 1e15, and the exp argument
+    # -sqrt(rho2*ec2)*1e15 underflows to P = 0 exactly for any rho2 > 0
+    # (rho2 == 0 pairs are excluded by `tracked`) -- one max op instead
+    # of a compare + and in the mask chain.
+    sig_c = jnp.maximum(sigma, 1e-15)
     P = sc(_F0) * jnp.exp(-jnp.sqrt(rho2 * ec2)
-                          * jax.lax.rsqrt(jnp.maximum(sig_c * sig_c,
-                                                      1e-30)))
+                          * jax.lax.rsqrt(sig_c * sig_c))
     u = ec2 * sigma
-    v = (e * e) * (sinphi * cosphi) * sigma - ec2 * dsigm
+    # v = e^2 sinphi cosphi sigma - ec2 dsigm, with e*sinphi and the
+    # shared ecos = e*cosphi factoring one mul out of the e^2 chain
+    v = (e * sinphi) * (ecos * sigma) + ec2 * ndsigm
     inv_m = jax.lax.rsqrt(jnp.maximum(u * u + v * v, 1e-30))
 
     # mask chain (minimum count of [S, R]-shaped ops):
@@ -320,11 +364,12 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
     if fov:
         # with fov=False (every agent's hfov == 2 pi, the reference's
         # Vehicle default) the cone test is statically elided (~5 full-
-        # tile ops). The sign flip rides the [S, 1] column, not the
-        # [S, R] dot product.
-        tracked &= (dxn * cr + dyn * sr) <= -sc(_CHF)
+        # tile ops). The sign flip rides the [S, 1] column (or the
+        # baked constant), not the [S, R] dot product.
+        chf = -_chfu if uniform is not None else -sc(_CHF)
+        tracked &= (dxn * cr_b + dyn * sr_b) <= chf
     if priority_p2r:
-        tracked &= (dyn * cr - dxn * sr) >= 0
+        tracked &= (dyn * cr_b - dxn * sr_b) >= 0
     tracked &= act_r > 0                    # cheap [1, R] cmp
 
     # fold the mask into the shared scale: masked pairs contribute w = 0,
@@ -356,7 +401,8 @@ def _tile_forces(src_tile, recv_ref, priority_p2r,
 def _pair_kernel_unrolled(tab_ref, roff_ref, src_hbm, recv_ref,
                           out_ref, scratch, sems, *, block: int, kb: int,
                           priority_p2r: bool, mixed: bool = False,
-                          fov: bool = True):
+                          fov: bool = True, block_src: int = 0,
+                          uniform=None):
     """One program per RECEIVER block; all KB source-tile DMAs are issued
     up-front into a KB-deep VMEM scratch and the accumulate loop is
     STATICALLY UNROLLED -- no per-tile program switch, no fori-loop
@@ -364,13 +410,14 @@ def _pair_kernel_unrolled(tab_ref, roff_ref, src_hbm, recv_ref,
     to a scalar validity branch while the DMA engine pipelines the
     copies behind the compute. tab is the flat [B*KB] sign-sentinel
     table (see pair_forces_neighbors)."""
+    block_src = block_src or block
     b = pl.program_id(0)
 
     def dma(k):
         v = tab_ref[b * kb + k]
         blk = jnp.where(v >= 0, v, -v - 1)   # sentinel decodes to a
         return pltpu.make_async_copy(        # safe (repeated) index
-            src_hbm.at[pl.ds(blk * block, block), :],
+            src_hbm.at[pl.ds(blk * block_src, block_src), :],
             scratch.at[k], sems.at[k])
 
     for k in range(kb):          # issue everything; invalid entries point
@@ -383,27 +430,34 @@ def _pair_kernel_unrolled(tab_ref, roff_ref, src_hbm, recv_ref,
         @pl.when(tab_ref[b * kb + k] >= 0)
         def _acc(k=k):
             fx, fy = _tile_forces(scratch[k][:, :SRC_COLS], recv_ref,
-                                  priority_p2r, mixed=mixed, fov=fov)
+                                  priority_p2r, mixed=mixed, fov=fov,
+                                  uniform=uniform)
             out_ref[0:1, :] += fx
             out_ref[1:2, :] += fy
 
 
 @functools.partial(jax.jit, static_argnames=("block", "priority_p2r",
-                                             "interpret", "mixed", "fov"))
+                                             "interpret", "mixed", "fov",
+                                             "block_src", "uniform"))
 def pair_forces_neighbors_unrolled(nbr, valid, src_pack, recv_pack,
                                    block: int = 128,
                                    priority_p2r: bool = False,
                                    interpret: bool = False,
                                    recv_offset=None, mixed: bool = False,
-                                   fov: bool = True):
+                                   fov: bool = True, block_src: int = 0,
+                                   uniform=None):
     """Unrolled-DMA block-sparse pairwise force sum (see
     _pair_kernel_unrolled). The source pack is padded to 128 columns
     (HBM->VMEM copies need the minor dim lane-aligned); VMEM scratch is
-    KB x block x 128 x 4 B, so block=128/kb<=28 fits comfortably."""
+    KB x block_src x 128 x 4 B, so block=128/kb<=28 fits comfortably.
+    block_src: SOURCE block granularity (0 = `block`); finer source
+    blocks cut candidate pairs at no lane cost (the table must be built
+    at the same granularity)."""
     n_src = src_pack.shape[0]
     bcount, kb = nbr.shape
     n_out = bcount * block
-    assert n_src % block == 0
+    block_src = block_src or block
+    assert n_src % block_src == 0
     assert recv_pack.shape[1] == n_out
     if recv_offset is None:
         recv_offset = jnp.zeros((1,), jnp.int32)
@@ -423,13 +477,14 @@ def pair_forces_neighbors_unrolled(nbr, valid, src_pack, recv_pack,
         out_specs=pl.BlockSpec((2, block),
                                lambda b, tab_ref, roff_ref: (0, b)),
         scratch_shapes=[
-            pltpu.VMEM((kb, block, 128), src_pack.dtype),
+            pltpu.VMEM((kb, block_src, 128), src_pack.dtype),
             pltpu.SemaphoreType.DMA((kb,)),
         ],
     )
     kernel = functools.partial(_pair_kernel_unrolled, block=block, kb=kb,
                                priority_p2r=priority_p2r, mixed=mixed,
-                               fov=fov)
+                               fov=fov, block_src=block_src,
+                               uniform=uniform)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

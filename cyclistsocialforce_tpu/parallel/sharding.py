@@ -236,7 +236,8 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
                 cfg, engine.priority_p2r, nbr_h,
                 in_hop, src_h, recv_sorted,
                 recv_offset=roff - lo, mixed=mixed,
-                fov=not engine.full_fov)
+                fov=not engine.full_fov,
+                uniform=None if mixed else engine.uniform_pair)
             block = jax.lax.ppermute(block, axis, perm_ring)
             return (block, fx + out[0], fy + out[1]), None
 

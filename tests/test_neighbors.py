@@ -411,3 +411,55 @@ def test_legacy_family_culled_matches_dense(backend):
         culled, st)
     np.testing.assert_allclose(np.asarray(c_fin.s), np.asarray(d_fin.s),
                                atol=1e-8 if backend == "xla" else 1e-4)
+
+
+@pytest.mark.parametrize("backend", ["interpret", "interpret_unrolled"])
+def test_uniform_pair_constants_match_general(backend):
+    """Shared scalar pair-field params are baked into the Pallas tile as
+    compile-time constants (Engine.uniform_pair, detected at create();
+    engine._uniform_pair_params). The baked kernel must match the
+    general per-column path bit-for-bit in intent (same math, different
+    operand sources) -- compared here against the XLA oracle AND against the
+    general kernel forced by a heterogeneity-defeating param copy."""
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    n, side = 384, 150.0
+    rng = np.random.default_rng(11)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, side, n)
+    s0[:, 1] = rng.uniform(0, side, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    p = as_population(BicycleParams.create(), n)
+
+    cfg = NeighborConfig(cutoff=60.0, block=64, kb=10, backend=backend,
+                         block_src=32)
+    eng = Engine.create(p, MODELS["bicycle2d"], rep_force="twod",
+                        neighbors=cfg)
+    assert eng.uniform_pair is not None       # broadcast params detected
+    fx_u, fy_u = eng.repulsive_sum_neighbors(st)
+
+    oracle = Engine.create(p, MODELS["bicycle2d"], rep_force="twod",
+                           neighbors=NeighborConfig(
+                               cutoff=60.0, block=64, kb=10,
+                               backend="xla", block_src=32))
+    fx_o, fy_o = oracle.repulsive_sum_neighbors(st)
+    # f32 kernel vs f64 oracle: absolute floor for near-zero forces plus
+    # a relative term for O(1-10) magnitudes
+    np.testing.assert_allclose(np.asarray(fx_u), np.asarray(fx_o),
+                               atol=1e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(fy_u), np.asarray(fy_o),
+                               atol=1e-4, rtol=2e-4)
+
+    # per-agent (non-uniform) params take the general column path and
+    # agree with the same oracle
+    p_het = p.replace(e_0=p.e_0 * (1.0 + 1e-9 * np.arange(n)))
+    eng_g = Engine.create(p_het, MODELS["bicycle2d"], rep_force="twod",
+                          neighbors=cfg)
+    assert eng_g.uniform_pair is None
+    fx_g, fy_g = eng_g.repulsive_sum_neighbors(st)
+    np.testing.assert_allclose(np.asarray(fx_u), np.asarray(fx_g),
+                               atol=1e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(fy_u), np.asarray(fy_g),
+                               atol=1e-4, rtol=2e-4)
