@@ -794,6 +794,17 @@ class Engine(struct.PyTreeNode):
                    uniform_pair=(_uniform_pair_params(params)
                                  if family == "twod" else None))
 
+    def with_params(self, params):
+        """Engine with `params` swapped in AND the params-derived static
+        fields refreshed (`full_fov`, `uniform_pair`). Prefer this over
+        a bare `engine.replace(params=...)`, which would keep the OLD
+        baked pair-field constants / FOV elision if the new values
+        differ (they are compile-time statics, not traced)."""
+        return self.replace(
+            params=params, full_fov=_hfov_is_full(params),
+            uniform_pair=(_uniform_pair_params(params)
+                          if self.pair_family == "twod" else None))
+
     # ---- one simulation step ----
 
     def _src_bundle(self, state: AgentState):

@@ -463,3 +463,27 @@ def test_uniform_pair_constants_match_general(backend):
                                atol=1e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(fy_u), np.asarray(fy_g),
                                atol=1e-4, rtol=2e-4)
+
+
+def test_with_params_refreshes_static_fields():
+    """`Engine.with_params` must refresh the params-derived STATICS
+    (uniform_pair, full_fov) that a bare replace(params=...) would
+    leave stale (they are compile-time constants in the Pallas tile)."""
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    p = BicycleParams.create()
+    eng = Engine.create(p, MODELS["bicycle2d"], rep_force="twod")
+    assert eng.uniform_pair is not None
+
+    p2 = p.replace(e_0=p.e_0 * 0.5, hfov=2.0 * np.pi)
+    eng2 = eng.with_params(p2)
+    assert eng2.uniform_pair[0] == pytest.approx(float(p2.e_0))
+    assert eng2.full_fov                      # hfov now covers the circle
+    # heterogeneous params clear the baked constants
+    n = 8
+    p3 = as_population(p, n)
+    p3 = p3.replace(sigma_0=p3.sigma_0 * (1 + 0.1 * np.arange(n)))
+    assert eng.with_params(p3).uniform_pair is None
+    # the stale-static hazard with bare replace (documented): values
+    # differ but the baked tuple is unchanged
+    assert eng.replace(params=p2).uniform_pair == eng.uniform_pair
