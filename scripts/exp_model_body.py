@@ -1,0 +1,91 @@
+"""Body-only (rep_force=None) step cost for the non-bicycle2d bench rows.
+
+Quantifies how much of a model row's step time is its BODY (dest force
++ dynamics + finish) vs the shared pair stage + data movement, at the
+exact bench configuration. One variant per process (tunnel rules):
+
+    python scripts/exp_model_body.py --row invpendulum [--full]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--row", default="invpendulum",
+                    choices=("twod", "invpendulum", "stochastic",
+                             "balancingrider"))
+    ap.add_argument("--full", action="store_true",
+                    help="keep the pair stage (the full bench row)")
+    ap.add_argument("--steps", type=int, default=240)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/csf_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from bench import BLOCK, BLOCK_SRC, CUTOFF, KB, REBUILD
+    from __graft_entry__ import _build
+    from cyclistsocialforce_tpu.engine import Engine, NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import (BalancingRiderParams,
+                                               BicycleParams,
+                                               InvPendulumBicycleParams)
+
+    n = 100_000
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    hist = 8 if args.row in ("stochastic", "balancingrider") else 128
+    _, state = _build(n, dtype=np.float32, density=0.02, hist_len=hist,
+                      pad_to_block=BLOCK)
+    cfg = NeighborConfig(
+        cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
+        sub=0, screen=False, block_src=BLOCK_SRC,
+        backend="pallas" if on_tpu else "xla")
+    if args.row == "twod":
+        params, model, sr = BicycleParams.create(), MODELS["twod"], True
+    elif args.row == "invpendulum":
+        params = InvPendulumBicycleParams.create(zoh_lut=4096)
+        model, sr = MODELS["invpendulum"], False
+    elif args.row == "balancingrider":
+        params = BalancingRiderParams.create(gains_lut=4096,
+                                             verbose=False)
+        model, sr = MODELS["balancingrider"], True
+    else:
+        params = BalancingRiderParams.create(
+            stochastic_control_behavior=True, resample_budget=2048,
+            gains_lut=4096, verbose=False)
+        model, sr = MODELS["balancingrider"], True
+    engine = Engine.create(params, model,
+                           neighbors=cfg if args.full else None,
+                           sorted_resident=sr)
+    if not args.full:
+        engine = engine.replace(rep_force=None)
+    state = prepare(model, params, state)
+
+    run = jax.jit(lambda e, s: e.simulate(s, args.steps,
+                                          record=False)[0])
+
+    def sync(out):
+        jax.block_until_ready(out)
+        return np.asarray(out.s[:4, :4])
+
+    sync(run(engine, state))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe = sync(run(engine, state))
+        dt = min(dt, time.perf_counter() - t0)
+    assert np.all(np.isfinite(probe)), probe
+    tag = "full" if args.full else "body-only"
+    print(f"{args.row} {tag}: {1e3 * dt / args.steps:.3f} ms/step")
+
+
+if __name__ == "__main__":
+    main()
