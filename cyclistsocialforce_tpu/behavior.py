@@ -885,3 +885,34 @@ class PoleModelRT(struct.PyTreeNode):
         # fallback: conditional mean of the most likely component
         fallback = self.inverse_transform_rest(mu_c[jnp.argmax(w)])
         return jnp.where(good, best, fallback), good
+
+
+def combine_outliers(outliers_by_model):
+    """Combine per-model outlier flags into one any-model mask
+    (reference controlbehavior.get_outliers_all_models,
+    controlbehavior.py:41-63 -- there a pandas merge over per-model
+    CSVs keyed by sample_id; here a file-format-free equivalent over
+    {model_name: (sample_ids, outlier_flags)} or plain flag arrays).
+
+    Returns (sample_ids, combined [S] bool) where combined[s] is True if
+    ANY model flags that sample. Models may list samples in different
+    orders; ids missing from a model are treated as not flagged by it."""
+    ids = None
+    per_model = {}
+    for name, entry in outliers_by_model.items():
+        if isinstance(entry, tuple):
+            sid, flags = entry
+        else:
+            flags = entry
+            sid = np.arange(len(flags))
+        sid = np.asarray(sid)
+        flags = np.asarray(flags, dtype=bool)
+        if sid.shape != flags.shape:
+            raise ValueError(f"model {name!r}: ids and flags must align")
+        per_model[name] = (sid, flags)
+        ids = sid if ids is None else np.union1d(ids, sid)
+    combined = np.zeros(ids.shape, dtype=bool)
+    for sid, flags in per_model.values():
+        pos = np.searchsorted(ids, sid)
+        combined[pos] |= flags
+    return ids, combined

@@ -240,3 +240,37 @@ def fit_optimize(X, range_components=(1, 5),
             "scores_train": train_scores,
             "gridsearch": results}
     return gmm, info
+
+
+def score_gmm(gmm, X, covariance_type="full"):
+    """Multimetric {BIC, AIC, NLL} score of a GMMData on samples X
+    (reference controlbehavior.score_gmm, controlbehavior.py:116-125 --
+    sklearn bic/aic/score semantics: NLL is the mean negative
+    log-likelihood, BIC/AIC use the full-sample likelihood)."""
+    n, f = np.shape(X)
+    nll = score_nll(gmm, X)
+    p = n_parameters(gmm.n_components, f, covariance_type)
+    return {"BIC": 2 * nll * n + p * float(np.log(n)),
+            "AIC": 2 * nll * n + 2 * p,
+            "NLL": nll}
+
+
+def score_conditional_gmm(gmm, X, idx_given, covariance_type="full"):
+    """Multimetric score of a CONDITIONAL mixture: condition the joint
+    GMMData on each sample's given feature, score that sample's
+    remaining features under the conditional mixture, and average
+    (reference controlbehavior.score_conditional_gmm,
+    controlbehavior.py:128-153 -- per-sample sklearn bic/aic on n = 1,
+    where the ln(n) BIC penalty vanishes, then the mean)."""
+    from cyclistsocialforce_tpu.behavior import conditional_gmm
+
+    X = np.asarray(X, dtype=float)
+    rest = [j for j in range(X.shape[1]) if j != idx_given]
+    p = n_parameters(gmm.n_components, len(rest), covariance_type)
+    rows = []
+    for i in range(X.shape[0]):
+        cond = conditional_gmm(gmm, idx_given, float(X[i, idx_given]))
+        nll = score_nll(cond, X[i, rest][None, :])
+        rows.append([2 * nll + p * np.log(1.0), 2 * nll + 2 * p, nll])
+    bic, aic, nll = np.mean(np.asarray(rows), axis=0)
+    return {"BIC": float(bic), "AIC": float(aic), "NLL": float(nll)}

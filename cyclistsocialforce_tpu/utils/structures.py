@@ -97,3 +97,35 @@ def fifo_next(state, value_in):
     buf = buf.at[head].set(value_in)
     head = (head + 1) % buf.shape[0]
     return (buf, head), value_out
+
+
+def validate_boolean_indicators(features, indicator_name, data_name,
+                                n_features):
+    """Validate a feature-selector input: either a bool mask of length
+    `n_features` or an array of int indices within [0, n_features)
+    (reference utils.validate_boolean_indicators, utils.py:230-292).
+    Returns the selector normalized to a bool mask; raises ValueError
+    with a message naming `indicator_name` / `data_name` otherwise."""
+    import numpy as np
+
+    arr = np.asarray(features)
+    if arr.dtype == bool:
+        if arr.ndim == 1 and arr.size == n_features:
+            return arr
+        raise ValueError(
+            f"Boolean indicator '{indicator_name}' must have the same "
+            f"number of elements as {data_name} has features "
+            f"({n_features}); got {arr.size}.")
+    if np.issubdtype(arr.dtype, np.integer):
+        if arr.ndim == 1 and arr.size and np.all(
+                (arr >= 0) & (arr < n_features)):
+            mask = np.zeros(n_features, dtype=bool)
+            mask[arr] = True
+            return mask
+        raise ValueError(
+            f"Integer indicator '{indicator_name}' for {data_name} must "
+            f"hold indices in [0, {n_features}); got {arr!r}.")
+    raise ValueError(
+        f"Indicator '{indicator_name}' must be bool (length "
+        f"{n_features}) or int indices in [0, {n_features}); got dtype "
+        f"{arr.dtype}.")

@@ -548,3 +548,57 @@ def eval_potential_field(x, y, state, params, agent=None):
     if n == 1:
         return np.asarray(P[0]).reshape(shape)
     return np.asarray(P).reshape((n,) + shape)
+
+
+def plot_fft(t, x, axes=None):
+    """Time series + single-sided FFT magnitude plot of an equally
+    spaced signal (reference utils.py:15-53, a control-loop debugging
+    aid). `t` is either the [N] time-sample array or the scalar sample
+    time t_s; returns the two axes (signal on top, log-magnitude
+    spectrum below)."""
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x)
+    n = len(x)
+    if np.ndim(t) == 0:
+        t_s = float(t)
+        t = np.arange(n) * t_s
+    else:
+        t = np.asarray(t)
+        t_s = float(t[1] - t[0])
+    X = np.fft.fft(x) / n                       # forward-normalized
+    freqs = np.fft.fftfreq(n, t_s)
+    half = n // 2
+    if axes is None:
+        _, axes = plt.subplots(2, 1)
+    axes[0].plot(t, x)
+    axes[0].set_xlabel("t [s]")
+    axes[1].plot(freqs[:half], np.abs(X[:half]))
+    axes[1].set_xlabel("f [Hz]")
+    axes[1].set_yscale("log")
+    return axes
+
+
+def fig_to_img(fig):
+    """Rasterize a matplotlib figure to an [H, W, 4] uint8 RGBA array
+    (reference utils.figToImg, utils.py:89-98) -- used to hand frames to
+    video writers without touching the screen."""
+    import io
+
+    with io.BytesIO() as buff:
+        fig.savefig(buff, format="raw")
+        buff.seek(0)
+        data = np.frombuffer(buff.getvalue(), dtype=np.uint8)
+    w, h = fig.canvas.get_width_height()
+    return data.reshape((int(h), int(w), -1))
+
+
+def clear_axes(ax):
+    """Remove every artist from an axes (reference utils.clearAxes,
+    utils.py:109-111) -- frame reset for redraw-from-scratch animation
+    loops."""
+    for artist in list(ax.get_children()):
+        try:
+            artist.remove()
+        except NotImplementedError:
+            pass        # axis spines/titles that refuse removal

@@ -224,3 +224,50 @@ def test_gmm_marginal_pdf_2d_matches_scipy(pm):
         ref += g.weights[k] * multivariate_normal(
             mean=g.means[k, [ix, iy]], cov=cov).pdf(pts)
     np.testing.assert_allclose(dens, ref, rtol=1e-10)
+
+
+def test_score_gmm_matches_sklearn_semantics():
+    """score_gmm / score_conditional_gmm (reference
+    controlbehavior.py:116-153): BIC/AIC/NLL on a known mixture."""
+    from cyclistsocialforce_tpu.behavior import GMMData
+    from cyclistsocialforce_tpu.gmm_fit import (score_conditional_gmm,
+                                                score_gmm, score_nll)
+
+    rng = np.random.default_rng(5)
+    gmm = GMMData(means=np.array([[0.0, 0.0], [3.0, 3.0]]),
+                  covariances=np.stack([np.eye(2), 0.5 * np.eye(2)]),
+                  weights=np.array([0.4, 0.6]))
+    X, _ = gmm.sample(400, rng)
+    s = score_gmm(gmm, X)
+    # NLL against a direct scipy evaluation
+    from scipy.stats import multivariate_normal as mvn
+    pdf = (0.4 * mvn.pdf(X, [0, 0], np.eye(2))
+           + 0.6 * mvn.pdf(X, [3, 3], 0.5 * np.eye(2)))
+    nll_ref = float(-np.mean(np.log(pdf)))
+    assert s["NLL"] == pytest.approx(nll_ref, rel=1e-9)
+    n, p = 400, 2 * 3 + 2 * 2 + 1          # full cov: k*f(f+1)/2+kf+k-1
+    assert s["BIC"] == pytest.approx(2 * s["NLL"] * n + p * np.log(n))
+    assert s["AIC"] == pytest.approx(2 * s["NLL"] * n + 2 * p)
+
+    sc = score_conditional_gmm(gmm, X[:40], idx_given=0)
+    assert np.isfinite([sc["BIC"], sc["AIC"], sc["NLL"]]).all()
+    # conditioning on a feature must beat ignoring it when features
+    # are correlated with the component -- sanity: scores are bounded
+    assert sc["NLL"] < 10.0
+
+
+def test_combine_outliers():
+    """Any-model combination with differing sample orders and missing
+    ids (reference get_outliers_all_models semantics)."""
+    from cyclistsocialforce_tpu.behavior import combine_outliers
+
+    ids, comb = combine_outliers({
+        "BR0": (np.array([3, 1, 2]), np.array([True, False, False])),
+        "PP0": (np.array([1, 2]), np.array([False, True])),
+    })
+    assert ids.tolist() == [1, 2, 3]
+    assert comb.tolist() == [False, True, True]
+    # plain-array form: implicit 0..n-1 ids
+    ids2, comb2 = combine_outliers({"a": np.array([0, 1, 0], bool),
+                                    "b": np.array([0, 0, 1], bool)})
+    assert comb2.tolist() == [False, True, True]

@@ -48,3 +48,24 @@ def test_fifo_ring():
     assert float(out) == 3.0
     st, out = S.fifo_next(st, 7.0)
     assert float(out) == 4.0
+
+
+def test_validate_boolean_indicators():
+    """Reference utils.py:230-292 semantics: bool mask passthrough, int
+    index conversion, ValueError on mismatch."""
+    import numpy as np
+    import pytest
+
+    from cyclistsocialforce_tpu.utils.structures import (
+        validate_boolean_indicators)
+
+    m = validate_boolean_indicators([True, False, True], "sel", "X", 3)
+    assert m.tolist() == [True, False, True]
+    m = validate_boolean_indicators([0, 2], "sel", "X", 3)
+    assert m.tolist() == [True, False, True]
+    with pytest.raises(ValueError):
+        validate_boolean_indicators([True, False], "sel", "X", 3)
+    with pytest.raises(ValueError):
+        validate_boolean_indicators([0, 5], "sel", "X", 3)
+    with pytest.raises(ValueError):
+        validate_boolean_indicators([0.5, 1.0], "sel", "X", 3)

@@ -237,3 +237,34 @@ def test_draw_road_renders():
     sd.render(st)
     assert all(a.axes is ax for a in sd.road_artists)
     plt.close(fig)
+
+
+def test_fft_img_clear_helpers():
+    """plot_fft / fig_to_img / clear_axes (reference utils.py:15-111)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import pytest
+
+    from cyclistsocialforce_tpu.viz import (clear_axes, fig_to_img,
+                                            plot_fft)
+
+    t_s = 0.01
+    t = np.arange(0, 2.0, t_s)
+    x = np.sin(2 * np.pi * 5.0 * t)          # 5 Hz tone
+    axes = plot_fft(t_s, x)                  # scalar t_s form
+    line = axes[1].get_lines()[0]
+    freqs, mag = line.get_xdata(), line.get_ydata()
+    assert freqs[np.argmax(mag)] == pytest.approx(5.0, abs=0.5)
+    axes2 = plot_fft(t, x)                   # time-array form
+    assert len(axes2) == 2
+
+    fig = axes[0].figure
+    img = fig_to_img(fig)
+    assert img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8
+
+    clear_axes(axes[0])
+    assert not axes[0].get_lines()
+    plt.close("all")
