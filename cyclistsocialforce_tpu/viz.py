@@ -602,3 +602,104 @@ def clear_axes(ax):
             artist.remove()
         except NotImplementedError:
             pass        # axis spines/titles that refuse removal
+
+
+def plot_gridsearch(info, axes=None):
+    """Grid-search model-selection plot (reference
+    PoleModel.plot_gridsearch, controlbehavior.py:1653-1688): one panel
+    per metric (BIC/AIC/NLL), score vs n_components with one line per
+    covariance type and the selected model marked. `info` is the dict
+    returned by gmm_fit.fit_optimize."""
+    import matplotlib.pyplot as plt
+
+    results = info["gridsearch"]
+    cov_types = sorted({r["cov_type"] for r in results})
+    metrics = ("BIC", "AIC", "NLL")
+    if axes is None:
+        _, axes = plt.subplots(1, len(metrics), layout="constrained")
+    best_k = info["hyperparameters"]["n_components"]
+    for metric, ax in zip(metrics, axes):
+        for ctype in cov_types:
+            rows = sorted((r for r in results if r["cov_type"] == ctype),
+                          key=lambda r: r["n_components"])
+            ax.plot([r["n_components"] for r in rows],
+                    [r[metric] for r in rows], label=ctype)
+        ax.plot([best_k], [info["scores_val"][metric]], marker="o",
+                color="tab:red")
+        ax.annotate(f"{info['scores_val'][metric]:.2f}",
+                    xy=(best_k, info["scores_val"][metric]),
+                    horizontalalignment="left",
+                    verticalalignment="bottom")
+        ax.set_title(metric)
+        ax.set_xlabel("n_components")
+        ax.set_ylabel("score")
+    axes[0].legend()
+    return axes
+
+
+def plot_marginals(gmm, X_train=None, X_test=None, marginals_2d=True,
+                   marginals_1d=True, n_grid=80):
+    """Marginal-distribution diagnostics of a fitted mixture (reference
+    PoleModel.plot_marginals, controlbehavior.py:1700-1830): 1D marginal
+    pdf curves per feature (data histogram underneath) and pairwise 2D
+    marginal pdf contours with train/test scatter overlays. `gmm` is a
+    behavior.GMMData; returns the created figures."""
+    import matplotlib.pyplot as plt
+
+    f = gmm.n_features
+    figs = []
+
+    def lims(idx):
+        pts = [gmm.means[:, idx]]
+        for X in (X_train, X_test):
+            if X is not None:
+                pts.append(np.asarray(X)[:, idx])
+        allv = np.concatenate(pts)
+        pad = 0.2 * (allv.max() - allv.min() + 1e-9)
+        return float(allv.min() - pad), float(allv.max() + pad)
+
+    if marginals_2d and f >= 2:
+        pairs = [(i, j) for i in range(f) for j in range(i + 1, f)]
+        ncol = min(len(pairs), 4)
+        nrow = int(np.ceil(len(pairs) / ncol))
+        fig, axes = plt.subplots(nrow, ncol, squeeze=False,
+                                 layout="constrained")
+        for ax, (i, j) in zip(axes.ravel(), pairs):
+            xl, yl = lims(i), lims(j)
+            pts, pdf = gmm.marginal_pdf_2d(xl, yl, i, j,
+                                           n_samples=n_grid)
+            gx = pts[:, 0].reshape(n_grid, n_grid)
+            gy = pts[:, 1].reshape(n_grid, n_grid)
+            ax.contour(gx, gy, pdf.reshape(n_grid, n_grid), levels=8)
+            for X, style in ((X_train, dict(s=5, color="black")),
+                             (X_test, dict(s=5, color="tab:pink"))):
+                if X is not None:
+                    X = np.asarray(X)
+                    ax.scatter(X[:, i], X[:, j], **style)
+            ax.scatter(gmm.means[:, i], gmm.means[:, j], s=12,
+                       color="tab:red")
+            ax.set_xlabel(f"f{i}")
+            ax.set_ylabel(f"f{j}")
+        for ax in axes.ravel()[len(pairs):]:
+            ax.set_axis_off()
+        figs.append(fig)
+
+    if marginals_1d:
+        ncol = min(f, 8)
+        nrow = int(np.ceil(f / ncol))
+        fig, axes = plt.subplots(nrow, ncol, squeeze=False,
+                                 layout="constrained")
+        for idx, ax in zip(range(f), axes.ravel()):
+            xl = lims(idx)
+            xs, pdf = gmm.marginal_pdf_1d_range(xl, idx,
+                                                n_samples=4 * n_grid)
+            for X, color in ((X_train, "black"), (X_test, "tab:pink")):
+                if X is not None:
+                    ax.hist(np.asarray(X)[:, idx], bins=30, density=True,
+                            alpha=0.3, color=color)
+            ax.plot(xs, pdf)
+            ax.set_xlabel(f"f{idx}")
+        for ax in axes.ravel()[f:]:
+            ax.set_axis_off()
+        figs.append(fig)
+    return figs

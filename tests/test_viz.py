@@ -268,3 +268,34 @@ def test_fft_img_clear_helpers():
     clear_axes(axes[0])
     assert not axes[0].get_lines()
     plt.close("all")
+
+
+def test_gridsearch_and_marginal_plots():
+    """plot_gridsearch / plot_marginals (reference PoleModel plotting,
+    controlbehavior.py:1653-1830) render headless from fit_optimize
+    output and a known mixture."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from cyclistsocialforce_tpu.behavior import GMMData
+    from cyclistsocialforce_tpu.gmm_fit import fit_optimize
+    from cyclistsocialforce_tpu.viz import plot_gridsearch, plot_marginals
+
+    rng = np.random.default_rng(2)
+    gmm = GMMData(means=np.array([[0.0, 0.0], [4.0, 2.0]]),
+                  covariances=np.stack([np.eye(2), 0.3 * np.eye(2)]),
+                  weights=np.array([0.5, 0.5]))
+    X, _ = gmm.sample(120, rng)
+
+    _, info = fit_optimize(X, range_components=(1, 3),
+                           covariance_types=("full", "diag"),
+                           k_crossval=3, n_init=3, n_iter=40)
+    axes = plot_gridsearch(info)
+    assert len(axes) == 3
+    assert axes[0].get_lines()               # one line per cov type
+
+    figs = plot_marginals(gmm, X_train=X[:80], X_test=X[80:], n_grid=24)
+    assert len(figs) == 2                    # 2D + 1D panels
+    plt.close("all")
