@@ -89,7 +89,8 @@ def audit_overflow(x, y, cfg, tag):
         yj = jnp.concatenate(
             [jnp.asarray(y), jnp.full((npd - n,), y[0], jnp.float32)])
         cache = NB.build(xj, yj, cfg.cutoff + cfg.skin, cfg.block, cfg.kb,
-                         block_src=cfg.block_src)
+                         block_src=cfg.block_src,
+                         table_chunk=cfg.table_chunk or 1024)
         counts = np.asarray(cache[2]).sum(1)
         overflow = np.asarray(cache[3])
     print(f"audit {tag}: max in-range blocks {counts.max()} "

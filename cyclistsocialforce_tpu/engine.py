@@ -471,7 +471,7 @@ class NeighborConfig:
     def __init__(self, cutoff=60.0, block=128, kb=16, backend="pallas",
                  rebuild_every=1, skin=None, v_max=10.0, t_s=0.01,
                  sub=0, screen=True, rebuild_mode="chunked",
-                 block_src=0):
+                 block_src=0, table_chunk=0, row_segments=1):
         self.cutoff = float(cutoff)
         self.block = int(block)
         self.block_src = int(block_src) or self.block
@@ -505,11 +505,25 @@ class NeighborConfig:
                 f"rebuild_mode must be 'chunked' or 'flat', got "
                 f"{rebuild_mode!r}")
         self.rebuild_mode = str(rebuild_mode)
+        # mega-scale controls (identical results, bounded resources):
+        # table_chunk > 0 builds the [B, B_src] bbox table in receiver-
+        # row chunks (the dense matrix is ~8 GB at N = 4e6 -- an HBM
+        # wall; see ops.neighbors.neighbor_block_table); row_segments
+        # > 1 splits each culled pair call into that many receiver-row
+        # segments, each its own pallas_call, because the flat scalar-
+        # prefetch table costs B*kb*4 B of SMEM and the ~1 MB SMEM
+        # budget caps a single call near B*kb ~ 250k entries (~2M
+        # agents at block=128/kb=19).
+        self.table_chunk = int(table_chunk)
+        self.row_segments = int(row_segments)
+        if self.row_segments < 1:
+            raise ValueError("row_segments must be >= 1")
 
     def _key(self):
         return (self.cutoff, self.block, self.kb, self.backend,
                 self.rebuild_every, self.skin, self.sub, self.screen,
-                self.rebuild_mode, self.block_src)
+                self.rebuild_mode, self.block_src, self.table_chunk,
+                self.row_segments)
 
     def __hash__(self):
         return hash(self._key())
@@ -571,7 +585,7 @@ def build_neighbor_cache(cfg: NeighborConfig, state):
         x = jnp.concatenate([x, jnp.full((npad - n,), x[0], dtype=x.dtype)])
         y = jnp.concatenate([y, jnp.full((npad - n,), y[0], dtype=y.dtype)])
     return NB.build(x, y, cfg.cutoff + cfg.skin, blk, cfg.kb,
-                    block_src=cfg.block_src)
+                    block_src=cfg.block_src, table_chunk=cfg.table_chunk)
 
 
 def sorted_packs(src_pack, perm, npad, dtype):
@@ -610,7 +624,31 @@ def pair_kernel_dispatch(cfg: NeighborConfig, priority_p2r: bool,
     forces. src/recv must already be in cell-sorted order. `uniform`
     optionally bakes shared scalar pair-field params into the Pallas
     tiles as compile-time constants (Engine.uniform_pair; ignored by the
-    xla and db backends)."""
+    xla and db backends).
+
+    With cfg.row_segments > 1 the call is split into that many receiver-
+    row segments, each its own pallas_call over the FULL source pack
+    (identical math; needed past ~2M agents where one call's flat
+    scalar-prefetch table would exceed the ~1 MB SMEM budget)."""
+    if cfg.row_segments > 1 and cfg.backend != "xla":
+        b = nbr.shape[0]
+        blk = cfg.block
+        bounds = [round(i * b / cfg.row_segments)
+                  for i in range(cfg.row_segments + 1)]
+        outs = [
+            _pair_dispatch_one(
+                cfg, priority_p2r, nbr[lo:hi], valid[lo:hi], src_sorted,
+                recv_sorted[:, lo * blk:hi * blk], recv_offset, mixed,
+                fov, uniform)
+            for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+        return jnp.concatenate(outs, axis=1)
+    return _pair_dispatch_one(cfg, priority_p2r, nbr, valid, src_sorted,
+                              recv_sorted, recv_offset, mixed, fov,
+                              uniform)
+
+
+def _pair_dispatch_one(cfg, priority_p2r, nbr, valid, src_sorted,
+                       recv_sorted, recv_offset, mixed, fov, uniform):
     from cyclistsocialforce_tpu.ops import pallas_forces as PF
 
     blk = cfg.block

@@ -103,7 +103,8 @@ def bbox_distance2(boxes_a, boxes_b):
     return dx * dx + dy * dy
 
 
-def neighbor_block_table(bboxes, cutoff, kb: int, src_bboxes=None):
+def neighbor_block_table(bboxes, cutoff, kb: int, src_bboxes=None,
+                         chunk: int = 0):
     """Fixed-width neighbor-block table.
 
     bboxes are the RECEIVER blocks' boxes; src_bboxes (default: the same
@@ -113,6 +114,14 @@ def neighbor_block_table(bboxes, cutoff, kb: int, src_bboxes=None):
     (~20% fewer candidate pairs at source block 64 vs 128 on the bench
     distribution, scripts/exp_asym_blocks.py).
 
+    chunk: receiver-axis chunk size (0 = dense). The dense form
+    materializes the [B, B_src] bbox distance matrix -- 488 MB at
+    N = 1e6 and ~8 GB at 4e6 (an HBM wall). Chunking lax.maps the build
+    over ceil(B/chunk) receiver-row chunks, bounding peak memory to
+    O(chunk * B_src) while keeping the result IDENTICAL (same exact
+    box-to-box test, same closest-first top_k per row). B is padded up
+    to a chunk multiple with dummy rows.
+
     Returns (nbr [B, KB] int32, valid [B, KB] bool, overflow [B] bool):
     for each receiver block, the up-to-KB source blocks within `cutoff`
     (box-to-box), CLOSEST FIRST; `overflow` flags receiver blocks whose
@@ -120,39 +129,55 @@ def neighbor_block_table(bboxes, cutoff, kb: int, src_bboxes=None):
     """
     if src_bboxes is None:
         src_bboxes = bboxes
-    d2 = bbox_distance2(bboxes, src_bboxes)              # [B, B_src]
-    within = d2 <= cutoff * cutoff
-    # kb closest via top_k on the NEGATED distance (out-of-range pushed
-    # to -BIG), NOT a row argsort: argsort sorts the full [B, B_src]
-    # matrix (1.2e8 elements at N = 1e6 -- the rebuild's dominant cost
-    # at that scale), while top_k selects kb of B_src per row
-    neg = jnp.where(within, -d2, -BIG)
-    k_eff = min(kb, neg.shape[1])        # kb may exceed the block count
-    dneg, order = jax.lax.top_k(neg, k_eff)              # descending neg
-    order = order.astype(jnp.int32)                      # == closest first
-    valid = dneg > -BIG
-    if k_eff < kb:                       # pad the capacity with invalids
-        b = neg.shape[0]
-        order = jnp.concatenate(
-            [order, jnp.zeros((b, kb - k_eff), jnp.int32)], axis=1)
-        valid = jnp.concatenate(
-            [valid, jnp.zeros((b, kb - k_eff), bool)], axis=1)
-    overflow = jnp.sum(within, axis=1) > kb
-    # invalid entries hold ANY in-bounds source index (they are masked by
-    # `valid` in the XLA path and re-encoded as DMA-eliding sign sentinels
-    # by the Pallas path); 0 is in-bounds for any block count
-    nbr = jnp.where(valid, order, 0)
-    return nbr, valid, overflow
+
+    def per_rows(boxes_r):
+        d2 = bbox_distance2(boxes_r, src_bboxes)         # [C, B_src]
+        within = d2 <= cutoff * cutoff
+        # kb closest via top_k on the NEGATED distance (out-of-range
+        # pushed to -BIG), NOT a row argsort: argsort sorts the full
+        # [B, B_src] matrix (1.2e8 elements at N = 1e6 -- the rebuild's
+        # dominant cost at that scale), while top_k selects kb of B_src
+        neg = jnp.where(within, -d2, -BIG)
+        k_eff = min(kb, neg.shape[1])    # kb may exceed the block count
+        dneg, order = jax.lax.top_k(neg, k_eff)          # descending neg
+        order = order.astype(jnp.int32)                  # closest first
+        valid = dneg > -BIG
+        if k_eff < kb:                   # pad the capacity with invalids
+            b = neg.shape[0]
+            order = jnp.concatenate(
+                [order, jnp.zeros((b, kb - k_eff), jnp.int32)], axis=1)
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((b, kb - k_eff), bool)], axis=1)
+        overflow = jnp.sum(within, axis=1) > kb
+        # invalid entries hold ANY in-bounds source index (they are
+        # masked by `valid` in the XLA path and re-encoded as DMA-eliding
+        # sign sentinels by the Pallas path); 0 is always in bounds
+        nbr = jnp.where(valid, order, 0)
+        return nbr, valid, overflow
+
+    b = bboxes.shape[0]
+    if not chunk or chunk >= b:
+        return per_rows(bboxes)
+    n_chunks = -(-b // chunk)
+    pad = n_chunks * chunk - b
+    padded = (jnp.concatenate([bboxes, jnp.zeros((pad, 4),
+                                                 bboxes.dtype)])
+              if pad else bboxes)
+    nbr, valid, overflow = jax.lax.map(
+        per_rows, padded.reshape(n_chunks, chunk, 4))
+    return (nbr.reshape(-1, kb)[:b], valid.reshape(-1, kb)[:b],
+            overflow.reshape(-1)[:b])
 
 
 def build(x, y, cutoff, block: int, kb: int, cell_size=None,
-          block_src: int = 0):
+          block_src: int = 0, table_chunk: int = 0):
     """One-call neighbor structure: (perm, nbr, valid, overflow).
 
     perm sorts agents by cell; nbr/valid index SORTED blocks -- receiver
     blocks of `block` agents, source blocks of `block_src` (0 = same as
     `block`; must divide `block`). N must be divisible by `block` (pad
-    the population upstream).
+    the population upstream). table_chunk bounds the table build's peak
+    memory at mega-agent scale (see neighbor_block_table).
     """
     if cell_size is None:
         cell_size = cutoff
@@ -163,5 +188,6 @@ def build(x, y, cutoff, block: int, kb: int, cell_size=None,
     src_boxes = (boxes if block_src == block
                  else block_bboxes(xs, ys, block_src))
     nbr, valid, overflow = neighbor_block_table(boxes, cutoff, kb,
-                                                src_bboxes=src_boxes)
+                                                src_bboxes=src_boxes,
+                                                chunk=table_chunk)
     return perm, nbr, valid, overflow

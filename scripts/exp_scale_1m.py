@@ -1,12 +1,18 @@
-"""Headline configuration at N = 1,000,000 agents (10x bench scale).
+"""Headline configuration at N = 1,000,000+ agents (10-40x bench scale).
 
-Same density (0.02 /m^2 -> ~7.1 x 7.1 km domain), same culled pair
-stage. Checks HBM capacity (state + pos_hist + [B, B] bbox table at
-B = 7813) and whether throughput holds at 10x the block count. kb is
-re-audited at this scale before timing (same overflow guarantee as
-bench.py).
+Same density (0.02 /m^2 -> ~7.1 x 7.1 km domain at 1M), same culled
+pair stage. Checks HBM capacity (state + pos_hist + bbox table) and
+whether throughput holds at 10-40x the block count. kb is re-audited
+at this scale before timing (same overflow guarantee as bench.py).
+
+Mega-scale knobs (identical results, bounded resources -- see
+NeighborConfig): --table_chunk bounds the [B, B_src] bbox-table build
+(~8 GB dense at N = 4e6), --segments splits the pair call so the flat
+scalar-prefetch table stays under the ~1 MB SMEM budget (needed past
+~2M agents at block=128/kb=19).
 
     python scripts/exp_scale_1m.py [--steps 60]
+    python scripts/exp_scale_1m.py --n 4000000 --table_chunk 2048 --segments 4
 """
 
 import argparse
@@ -29,6 +35,8 @@ def main():
     ap.add_argument("--kb", type=int, default=0,
                     help="override the table capacity (needed when a "
                          "larger skin widens the in-range count)")
+    ap.add_argument("--table_chunk", type=int, default=0)
+    ap.add_argument("--segments", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -50,7 +58,9 @@ def main():
     cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=args.kb or KB,
                          rebuild_every=args.rebuild or REBUILD,
                          sub=0, screen=False, block_src=BLOCK_SRC,
-                         backend="pallas" if on_tpu else "xla")
+                         backend="pallas" if on_tpu else "xla",
+                         table_chunk=args.table_chunk,
+                         row_segments=args.segments)
     engine = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
                            rep_force="twod", neighbors=cfg)
 

@@ -487,3 +487,46 @@ def test_with_params_refreshes_static_fields():
     # the stale-static hazard with bare replace (documented): values
     # differ but the baked tuple is unchanged
     assert eng.replace(params=p2).uniform_pair == eng.uniform_pair
+
+
+def test_chunked_table_and_row_segments_identical():
+    """Mega-scale controls must not change results: the chunked
+    [B, B_src] table build equals the dense build bit-for-bit, and a
+    row-segmented pair dispatch equals the single-call dispatch."""
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    rng = np.random.default_rng(7)
+    n = 1024
+    x = jnp.asarray(rng.uniform(-300, 300, n))
+    y = jnp.asarray(rng.uniform(-300, 300, n))
+    for chunk in (1, 3, 4, 100):
+        a = NB.build(x, y, 60.0, 64, 10, block_src=32)
+        b = NB.build(x, y, 60.0, 64, 10, block_src=32,
+                     table_chunk=chunk)
+        for ai, bi in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(ai),
+                                          np.asarray(bi))
+
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = np.asarray(x)
+    s0[:, 1] = np.asarray(y)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    p = as_population(BicycleParams.create(), n)
+
+    def forces(segments, chunk):
+        eng = Engine.create(p, MODELS["bicycle2d"], rep_force="twod",
+                            neighbors=NeighborConfig(
+                                cutoff=60.0, block=64, kb=10,
+                                backend="interpret", block_src=32,
+                                table_chunk=chunk,
+                                row_segments=segments))
+        fx, fy = eng.repulsive_sum_neighbors(st)
+        return np.asarray(fx), np.asarray(fy)
+
+    fx1, fy1 = forces(1, 0)
+    for segments in (2, 3, 5):
+        fxs, fys = forces(segments, 3)
+        np.testing.assert_array_equal(fxs, fx1)
+        np.testing.assert_array_equal(fys, fy1)
