@@ -1392,13 +1392,38 @@ def permute_state(state: AgentState, perm) -> AgentState:
     fields ride the float matrix via an exact int32 conversion + 4-byte
     bitcast (bit movement only -- gather/concat/slice never do
     arithmetic on the bitcast lanes); the float64 path (CPU tests) keeps
-    a separate int gather instead of bitcasting (width mismatch)."""
-    n = state.n
-    fdt = state.s.dtype
-    bitcast = jax.lax.bitcast_convert_type
-    f32 = fdt == jnp.float32
+    a separate int gather instead of bitcasting (width mismatch).
 
-    flt, ints = [], []    # (field, restshape, cols, dtype)
+    The pack/unpack is built in TRANSPOSED [K, N] orientation (concat
+    along the SUBLANE axis, one materialized transpose each side of the
+    gather): concatenating [N, c] columns directly forces each narrow
+    operand into a row-major T(8, 128) copy whose lanes pad c -> 128 --
+    a 976 MB temp PER 1-column field at N = 2e6 (~9 GB of padding; the
+    observed HBM wall at that scale). [c, N] operands only pad sublanes
+    c -> 8, and the per-field column extracts on the unpack side are
+    major-axis slices, so the narrow temps never exist."""
+    # optimization_barrier MATERIALIZES the packed matrix on both sides
+    # of the gather so XLA cannot fuse the concat into the gather (or
+    # the downstream slices into per-field gathers), which would
+    # silently undo the packing
+    barrier = jax.lax.optimization_barrier
+
+    def gather_rows(mT):
+        packed = barrier(barrier(mT.T)[perm])           # [n, K] row gather
+        return barrier(packed.T)                        # [K, n]
+
+    packT, ipackT = pack_state_rows(state)
+    packT = gather_rows(packT)
+    if ipackT is not None:
+        ipackT = gather_rows(ipackT)
+    return unpack_state_rows(state, packT, ipackT)
+
+
+def _state_pack_layout(state):
+    """Field layout of the packed state matrix: (flt, ints) lists of
+    (field, restshape, cols, dtype), ints holding every integer/bool
+    field (packed separately or bitcast into the float matrix)."""
+    flt, ints = [], []
     for f in _ALL_AGENT_FIELDS:
         a = getattr(state, f)
         cols = 1
@@ -1409,36 +1434,66 @@ def permute_state(state: AgentState, perm) -> AgentState:
             ints.append(ent)
         else:
             flt.append(ent)
+    return flt, ints
 
-    mats = [getattr(state, f).reshape(n, cols)
-            for f, _, cols, _ in flt]
-    imats = [getattr(state, f).reshape(n, cols).astype(jnp.int32)
+
+def pack_state_rows(state: AgentState):
+    """Concatenate every per-agent field into ONE transposed packed
+    matrix ([K, n]; see the permute_state docstring for why the
+    transposed orientation). f32 states bitcast int/bool fields into the
+    float matrix and return (packT, None); wider dtypes (the f64 CPU
+    test path) return a separate (packT, ipackT) int32 matrix.
+
+    The concat happens in FLAT 1-D form (column-major per field) and is
+    reshaped to [K, n] afterwards: 1-D arrays are never lane-padded,
+    while 2-D concat operands inherit the concat's layout -- XLA's
+    layout assignment makes the downstream transpose free by picking
+    {0,1}, which silently turns every narrow operand back into a
+    128-lane-padded copy (the N = 2e6 HBM wall, in both orientations)."""
+    n = state.n
+    bitcast = jax.lax.bitcast_convert_type
+    flt, ints = _state_pack_layout(state)
+
+    def col_major(f, cols):
+        a = getattr(state, f)
+        return (a.reshape(n) if cols == 1
+                else a.reshape(n, cols).T.reshape(cols * n))
+
+    mats = [col_major(f, cols) for f, _, cols, _ in flt]
+    imats = [col_major(f, cols).astype(jnp.int32)
              for f, _, cols, _ in ints]
-    # optimization_barrier MATERIALIZES the packed matrix on both sides
-    # of the gather so XLA cannot fuse the concat into the gather (or
-    # the downstream slices into per-field gathers), which would
-    # silently undo the packing
-    barrier = jax.lax.optimization_barrier
-    if f32:
+    kf = sum(cols for _, _, cols, _ in flt)
+    ki = sum(cols for _, _, cols, _ in ints)
+    if state.s.dtype == jnp.float32:
         mats += [bitcast(m, jnp.float32) for m in imats]
-        packed = barrier(barrier(jnp.concatenate(mats, axis=1))[perm])
-        ipacked = None
-    else:
-        packed = barrier(barrier(jnp.concatenate(mats, axis=1))[perm])
-        ipacked = barrier(barrier(jnp.concatenate(imats, axis=1))[perm])
+        return jnp.concatenate(mats).reshape(kf + ki, n), None
+    return (jnp.concatenate(mats).reshape(kf, n),
+            jnp.concatenate(imats).reshape(ki, n) if imats else None)
 
+
+def unpack_state_rows(state: AgentState, packT, ipackT) -> AgentState:
+    """Inverse of pack_state_rows: split the (row-reordered) packed
+    [K, n] matrices back into the state's per-agent fields."""
+    n = state.n
+    bitcast = jax.lax.bitcast_convert_type
+    flt, ints = _state_pack_layout(state)
     upd = {}
     off = 0
     for f, rest, cols, dt in flt:
-        upd[f] = packed[:, off:off + cols].reshape((n,) + rest)
+        sl = packT[off:off + cols]                       # [c, n] slice
+        upd[f] = (sl.reshape((n,) + rest) if cols == 1
+                  else sl.T.reshape((n,) + rest))
         off += cols
-    ioff = 0 if ipacked is not None else off
-    src = packed if ipacked is None else ipacked
+    ioff = 0 if ipackT is not None else off
+    srcT = ipackT if ipackT is not None else packT
     for f, rest, cols, dt in ints:
-        sl = src[:, ioff:ioff + cols]
-        if ipacked is None:
+        sl = srcT[ioff:ioff + cols]
+        if ipackT is None:
             sl = bitcast(sl, jnp.int32)
-        upd[f] = sl.astype(dt).reshape((n,) + rest)
+        if cols == 1:
+            upd[f] = sl.astype(dt).reshape((n,) + rest)
+        else:
+            upd[f] = sl.T.astype(dt).reshape((n,) + rest)
         ioff += cols
     return state.replace(**upd)
 

@@ -1,6 +1,7 @@
 from cyclistsocialforce_tpu.parallel.sharding import (
     AGENT_AXIS,
     make_mesh,
+    required_halo,
     shard_state,
     sharded_simulate_fn,
     sharded_step_fn,
@@ -10,6 +11,7 @@ from cyclistsocialforce_tpu.parallel.sharding import (
 __all__ = [
     "AGENT_AXIS",
     "make_mesh",
+    "required_halo",
     "shard_state",
     "sharded_simulate_fn",
     "sharded_step_fn",

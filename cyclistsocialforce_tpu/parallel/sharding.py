@@ -30,6 +30,8 @@ receiver's partial sums accumulate locally).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -257,6 +259,145 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
                          dtype)
 
 
+# --------------------------------------------------------------------------
+# halo-exchange culled schedule: the population is re-distributed into
+# GLOBALLY cell-sorted, spatially contiguous strips once per rebuild
+# chunk, after which each step exchanges only the 2*halo boundary source
+# blocks with the ring neighbors -- O(halo * block_src) bytes/step over
+# ICI instead of the O(N) per-step source all-gather
+# --------------------------------------------------------------------------
+
+
+def _reshard_rows(lstate, extras, idx, axis):
+    """Fetch global state rows `idx` (the local [n_l] slice of a global
+    permutation, identical on every device) into the local shard: ONE
+    packed [K, N] all-gather + one row take -- the per-row-bound packing
+    trick (engine.permute_state) applied across chips, instead of ~19
+    per-field all-gathers. `extras` are [n_l] int32 arrays redistributed
+    alongside (the original-row identity carry)."""
+    from cyclistsocialforce_tpu.engine import (pack_state_rows,
+                                               unpack_state_rows)
+
+    barrier = jax.lax.optimization_barrier
+    packT, ipackT = pack_state_rows(lstate)
+
+    def take(mT):
+        g = jax.lax.all_gather(mT, axis, axis=1, tiled=True)   # [K, N]
+        return barrier(barrier(g.T)[idx]).T                    # [K, n_l]
+
+    st = unpack_state_rows(lstate, take(packT),
+                           None if ipackT is None else take(ipackT))
+    ex = [jax.lax.all_gather(e, axis, tiled=True)[idx] for e in extras]
+    return st, ex
+
+
+def _global_reshard(engine, lstate, ident, axis):
+    """Re-distribute agents into globally cell-sorted strips: every
+    device computes the same global serpentine cell sort from the
+    all-gathered positions (2 floats/agent), then takes its strip's rows
+    from the packed global state. After this, device d's rows are global
+    sort positions [d*n_l, (d+1)*n_l) -- spatially contiguous, so its
+    in-cutoff source blocks live on d and its ring neighbors."""
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    cfg = engine.neighbors
+    nl = lstate.n
+    d = jax.lax.axis_index(axis)
+    x_g = jax.lax.all_gather(lstate.s[:, X], axis, tiled=True)
+    y_g = jax.lax.all_gather(lstate.s[:, Y], axis, tiled=True)
+    perm = NB.sort_by_cell(x_g, y_g, cfg.cutoff + cfg.skin)
+    idx = jax.lax.dynamic_slice_in_dim(perm, d * nl, nl)
+    st, (ident,) = _reshard_rows(lstate, [ident], idx, axis)
+    return st, ident
+
+
+def _neighbor_cache_halo(engine, lstate, axis, halo):
+    """Neighbor table for a globally sorted strip, re-indexed into the
+    halo window [d*B_src - halo, (d+1)*B_src + halo). Table entries are
+    built against the all-gathered GLOBAL source-block bboxes (a few
+    floats per block); entries outside the window are dropped and
+    flagged -- halo_overflow True means `halo` is too small for the
+    current density/geometry (grow it; same contract as the kb capacity
+    overflow, see parallel.required_halo)."""
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    cfg = engine.neighbors
+    nl = lstate.n
+    d = jax.lax.axis_index(axis)
+    cut = cfg.cutoff + cfg.skin
+    xs, ys = lstate.s[:, X], lstate.s[:, Y]    # already globally sorted
+    boxes_local = NB.block_bboxes(xs, ys, cfg.block)
+    src_local = (boxes_local if cfg.block_src == cfg.block
+                 else NB.block_bboxes(xs, ys, cfg.block_src))
+    boxes_glob = jax.lax.all_gather(src_local, axis, tiled=True)
+    nbr, valid, overflow = NB.neighbor_block_table(
+        boxes_local, cut, cfg.kb, src_bboxes=boxes_glob,
+        chunk=cfg.table_chunk)
+    bl_src = nl // cfg.block_src
+    lo_win = d * bl_src - halo
+    win = valid & (nbr >= lo_win) & (nbr < lo_win + bl_src + 2 * halo)
+    halo_overflow = jnp.any(valid & ~win) | jnp.any(overflow)
+    nbr_ext = jnp.where(win, nbr - lo_win, 0).astype(jnp.int32)
+    return nbr_ext, win, halo_overflow
+
+
+def _repulsive_neighbors_halo(engine, lstate, axis, cache, halo):
+    """Per-step culled pair stage on globally sorted strips: exchange
+    only the `halo` boundary source blocks with each ring neighbor (two
+    ppermutes of [halo*block_src, 16] rows), evaluate the windowed
+    table. Per-step ICI traffic is O(halo * block_src * 16) bytes
+    instead of the all-gather schedule's O(N * 16)."""
+    cfg = engine.neighbors
+    nl = lstate.n
+    size = jax.lax.axis_size(axis)
+    nbr_ext, win = cache[0], cache[1]
+    src_pack, recv_pack = engine.pack_pair_fields(lstate, nl)
+    hr = halo * cfg.block_src
+    fwd = [(i, (i + 1) % size) for i in range(size)]
+    bwd = [(i, (i - 1) % size) for i in range(size)]
+    left = jax.lax.ppermute(src_pack[nl - hr:], axis, fwd)
+    right = jax.lax.ppermute(src_pack[:hr], axis, bwd)
+    src_ext = jnp.concatenate([left, src_pack, right], axis=0)
+    out = engine.pair_kernel_dispatch(nbr_ext, win, src_ext, recv_pack)
+    return out[0][:nl], out[1][:nl]
+
+
+def required_halo(engine: Engine, state: AgentState, n_devices: int) -> int:
+    """Smallest `halo` (in SOURCE blocks per side) the halo schedule
+    needs for `state` split over `n_devices` strips: replicate the
+    global sort + table build single-device and measure the farthest
+    valid table entry outside each receiver's own strip. Audit this at
+    t=0 AND after a run (positions drift; the per-chunk rebuild re-sorts,
+    so mid-run requirements stay near the density-driven value)."""
+    import numpy as np
+
+    from cyclistsocialforce_tpu.ops import neighbors as NB
+
+    cfg = engine.neighbors
+    n = state.n
+    if n % n_devices or (n // n_devices) % cfg.block:
+        raise ValueError("halo schedule needs n divisible by the mesh "
+                         "size and local shards divisible by block")
+    nl = n // n_devices
+    cut = cfg.cutoff + cfg.skin
+    x, y = state.s[:, X], state.s[:, Y]
+    perm = NB.sort_by_cell(x, y, cut)
+    xs, ys = x[perm], y[perm]
+    boxes = NB.block_bboxes(xs, ys, cfg.block)
+    src_boxes = (boxes if cfg.block_src == cfg.block
+                 else NB.block_bboxes(xs, ys, cfg.block_src))
+    nbr, valid, _ = NB.neighbor_block_table(boxes, cut, cfg.kb,
+                                            src_bboxes=src_boxes)
+    nbr, valid = np.asarray(nbr), np.asarray(valid)
+    bl = nl // cfg.block
+    bl_src = nl // cfg.block_src
+    dev = np.arange(nbr.shape[0]) // bl
+    lo = (dev * bl_src)[:, None]
+    hi = lo + bl_src
+    excess = np.maximum(lo - nbr, nbr - (hi - 1))
+    return int(np.max(np.where(valid, excess, 0)))
+
+
 def _check_sharded_support(engine, comm):
     if engine.scripted is not None:
         raise ValueError(
@@ -277,7 +418,7 @@ def _check_sharded_support(engine, comm):
 
 
 def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None,
-                presorted=False, comm="allgather"):
+                presorted=False, comm="allgather", halo=0):
     """One sharded step on the local shard (the shard_map body shared by
     sharded_step_fn / sharded_simulate_fn). Mirrors Engine.step_with_forces
     incl. the engine's combine_forces hook."""
@@ -285,7 +426,10 @@ def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None,
     fdx, fdy, lstate = engine.dest_force(engine.params, lstate)
 
     if engine.rep_force is not None:
-        if engine.neighbors is not None:
+        if engine.neighbors is not None and comm == "halo":
+            frx, fry = _repulsive_neighbors_halo(engine, lstate, axis,
+                                                 nbr_cache, halo)
+        elif engine.neighbors is not None:
             frx, fry = _repulsive_neighbors(engine, lstate, axis, nbr_cache,
                                             presorted=presorted, comm=comm)
         else:
@@ -336,13 +480,28 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
 
 def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
                         axis: str = AGENT_AXIS, record: bool = False,
-                        comm: str = "allgather"):
+                        comm: str = "allgather", halo: int = 2):
     """Build a jittable `n_steps`-scan over the sharded step (scan inside
     shard_map: one collective program, no per-step re-entry).
 
     With `engine.neighbors` set, the culled per-device neighbor structure
     is rebuilt every `rebuild_every` steps (skin-extended cutoff keeps the
-    stale table conservative in between), mirroring Engine.simulate."""
+    stale table conservative in between), mirroring Engine.simulate.
+
+    comm="halo" (culled engines only) re-distributes the population into
+    GLOBALLY cell-sorted strips once per rebuild chunk (one packed [K, N]
+    all-gather) and then exchanges only the `halo` boundary source blocks
+    per step (two [halo*block_src, 16] ppermutes) -- per-step ICI bytes
+    drop from O(N) to O(halo * block_src), the right scaling for real
+    multi-chip meshes. Returns (final_state, halo_overflow) where the
+    replicated bool flags a too-small `halo`/kb for the observed
+    geometry (size with parallel.required_halo + a safety block).
+    Requires record=False, no scripted agents, local shards divisible by
+    `block`; physics identical to the other schedules (same global table,
+    same tile sums)."""
+    if comm == "halo":
+        return _sharded_simulate_halo_fn(engine, mesh, n_steps, axis,
+                                         record, halo)
     _check_sharded_support(engine, comm)
     specs = state_pspecs(axis)
     rep_comm = _REP_COMMS[comm]
@@ -419,3 +578,89 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
     out_specs = (specs, P(None, axis) if record else None)
     return jax.jit(jax.shard_map(local_run, mesh=mesh, in_specs=(specs,),
                                  out_specs=out_specs))
+
+
+def _sharded_simulate_halo_fn(engine, mesh, n_steps, axis, record, halo):
+    """The comm="halo" body of sharded_simulate_fn: sorted-resident
+    chunks over globally contiguous strips, halo-block per-step exchange,
+    original distribution restored at the end via the identity carry."""
+    if engine.neighbors is None:
+        raise ValueError("comm='halo' needs a culled engine "
+                         "(Engine.create(neighbors=...))")
+    if record:
+        raise ValueError("comm='halo' keeps rows in globally sorted "
+                         "order across rebuild chunks; per-step "
+                         "recording is not supported (use comm="
+                         "'allgather')")
+    if engine.scripted is not None or engine.pair_family == "custom":
+        raise ValueError("comm='halo' supports neither scripted agents "
+                         "nor custom force tiles")
+    if halo < 1:
+        raise ValueError("halo must be >= 1 source block per side")
+    specs = state_pspecs(axis)
+    cfg = engine.neighbors
+    k = max(cfg.rebuild_every, 1)
+
+    def local_run(lstate):
+        nl = lstate.n
+        if nl % cfg.block:
+            raise ValueError(
+                f"comm='halo' needs local shards divisible by block "
+                f"({cfg.block}); got {nl} agents/device")
+        if halo * cfg.block_src > nl:
+            raise ValueError("halo window wider than a device strip")
+        d = jax.lax.axis_index(axis)
+        # already device-varying through `d` -- no pcast needed
+        ident0 = d * nl + jnp.arange(nl, dtype=jnp.int32)
+
+        def chunk(carry, _, m):
+            st, ident, ovf = carry
+            st, ident = _global_reshard(engine, st, ident, axis)
+            cache = _neighbor_cache_halo(engine, st, axis, halo)
+
+            def inner(st, _):
+                out, fx, fy = _local_step(engine, axis, None, st,
+                                          nbr_cache=cache, comm="halo",
+                                          halo=halo)
+                return out, None
+
+            st, _ = jax.lax.scan(inner, st, None, length=m)
+            return (st, ident, ovf | cache[2]), None
+
+        def restore(st, ident):
+            # back to the original distribution: original id i lives at
+            # global row argsort(ident_g)[i]
+            ident_g = jax.lax.all_gather(ident, axis, tiled=True)
+            rows = jnp.argsort(ident_g)
+            idx = jax.lax.dynamic_slice_in_dim(rows, d * nl, nl)
+            return _reshard_rows(st, [ident], idx, axis)
+
+        n_chunks, rem = divmod(n_steps, k)
+        ovf0 = jax.lax.pcast(jnp.asarray(False), axis, to="varying")
+        carry = (lstate, ident0, ovf0)
+        if n_chunks:
+            carry, _ = jax.lax.scan(
+                functools.partial(chunk, m=k), carry, None,
+                length=n_chunks)
+            st, ident, ovf = carry
+            st, (ident,) = restore(st, ident)
+            carry = (st, ident, ovf)
+        if rem:
+            # remainder steps rebuild EVERY step (chunks of one) and
+            # return to the original row distribution in between -- the
+            # same freshness AND sort-tie semantics as Engine.simulate's
+            # remainder `body` (argsort tie-breaks depend on the incoming
+            # row order, and block truncation is tie-sensitive)
+            def rem_step(c, _):
+                c, _ = chunk(c, None, m=1)
+                st, ident, ovf = c
+                st, (ident,) = restore(st, ident)
+                return (st, ident, ovf), None
+
+            carry, _ = jax.lax.scan(rem_step, carry, None, length=rem)
+        st, ident, ovf = carry
+        ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis) > 0
+        return st, ovf
+
+    return jax.jit(jax.shard_map(local_run, mesh=mesh, in_specs=(specs,),
+                                 out_specs=(specs, P())))

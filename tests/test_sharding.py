@@ -386,3 +386,113 @@ def test_sharded_spline_family_matches_single_device():
         out, _ = run(shard_state(sti, mesh))
         np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
                                    atol=1e-12, err_msg=model_name)
+
+
+def _setup_halo(n, cutoff=20.0, block=16, rebuild_every=4, block_src=0,
+                kb=None, hist_len=16):
+    """Spread-out culled population for the halo schedule: the domain
+    spans many cell columns so each device strip only needs a few
+    boundary source blocks."""
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+    from cyclistsocialforce_tpu.state import set_destinations
+
+    rng = np.random.default_rng(3)
+    side = 0.5 * np.sqrt(n / 0.02)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-side, side, n)
+    s0[:, 1] = rng.uniform(-side, side, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64, hist_len=hist_len)
+    for a in range(n):
+        st = set_destinations(st, a, (rng.uniform(-side, side),),
+                              (rng.uniform(-side, side),))
+    nbr = NeighborConfig(cutoff=cutoff, block=block,
+                         kb=kb or n // (block_src or block),
+                         backend="xla",
+                         rebuild_every=rebuild_every, block_src=block_src)
+    eng = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
+                        rep_force="twod", neighbors=nbr)
+    return eng, st
+
+
+def test_sharded_culled_halo_matches_single_device():
+    """comm='halo' (globally sorted strips + boundary-block exchange)
+    reproduces the single-device culled run exactly: same global sort,
+    same table entries in the same order, same tile sums -- only the
+    communication pattern differs."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, required_halo, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 1024 * n_dev     # strips must span several cell columns: the
+    #                      halo is ~2 columns' worth of source blocks
+    eng, st = _setup_halo(n, kb=64)
+    n_steps = 14    # 3 chunks of 4 + remainder 2
+
+    h = required_halo(eng, st, n_dev) + 1
+    assert h * eng.neighbors.block_src <= n // n_dev, (
+        "test geometry should need only a narrow halo")
+
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, n_steps, record=False,
+                              comm="halo", halo=h)
+    out, ovf = run(shard_state(st, mesh))
+    assert not bool(ovf), "halo window overflowed"
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_culled_halo_asymmetric_blocks():
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, required_halo, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 1024 * n_dev
+    eng, st = _setup_halo(n, block=16, block_src=8, kb=128)
+    h = required_halo(eng, st, n_dev) + 1
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, 8, record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, 8, record=False, comm="halo",
+                              halo=h)
+    out, ovf = run(shard_state(st, mesh))
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_halo_overflow_flag():
+    """An undersized halo window must raise the overflow flag rather
+    than silently dropping interactions."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, required_halo, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 256 * n_dev
+    eng, st = _setup_halo(n, cutoff=60.0)   # wide cutoff: needs a big halo
+    assert required_halo(eng, st, n_dev) > 1
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, 4, record=False, comm="halo",
+                              halo=1)
+    _, ovf = run(shard_state(st, mesh))
+    assert bool(ovf)
+
+
+def test_sharded_halo_rejections():
+    import pytest
+
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, sharded_simulate_fn)
+
+    eng_dense, _, st = _setup_culled(16 * len(jax.devices()))
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="culled"):
+        sharded_simulate_fn(eng_dense, mesh, 4, comm="halo")
+    _, eng_culled, _ = _setup_culled(16 * len(jax.devices()))
+    with pytest.raises(ValueError, match="record"):
+        sharded_simulate_fn(eng_culled, mesh, 4, record=True, comm="halo")
