@@ -100,3 +100,45 @@ def test_flat_rebuild_mode_matches_chunked():
         flat_nosr, st)
     np.testing.assert_allclose(np.asarray(f3.s), np.asarray(f1.s),
                                atol=1e-9)
+
+
+def test_permute_state_roundtrip_both_dtypes():
+    """permute_state (the packed one-gather rebuild permute) must equal
+    a naive per-field row take in BOTH dtypes: float64 exercises the
+    separate-int-matrix path (CPU tests), float32 the production TPU
+    path where int/bool fields ride the float matrix via a 4-byte
+    bitcast -- bit movement only, so equality is exact."""
+    from cyclistsocialforce_tpu.engine import (_ALL_AGENT_FIELDS,
+                                               permute_state)
+
+    n = 96
+    rng = np.random.default_rng(11)
+    for dtype in (np.float64, np.float32):
+        st, _ = _setup(n=n)
+        if dtype is np.float32:
+            st = jax.tree.map(
+                lambda a: a.astype(np.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, st)
+        # scramble the int/bool fields so identity permutations or
+        # constant columns can't hide packing bugs
+        st = st.replace(
+            destpointer=jnp.asarray(rng.integers(0, 3, n), jnp.int32),
+            nq=jnp.asarray(rng.integers(1, 4, n), jnp.int32),
+            znav=jnp.asarray(rng.integers(0, 2, (n, 3)), bool),
+            zrid=jnp.asarray(rng.integers(0, 2, n), bool),
+            walk_ok_steps=jnp.asarray(rng.integers(0, 9, n), jnp.int32),
+            active=jnp.asarray(rng.integers(0, 2, n), bool),
+        )
+        perm = jnp.asarray(rng.permutation(n))
+        out = jax.jit(permute_state)(st, perm)
+        for f in _ALL_AGENT_FIELDS:
+            want = np.asarray(getattr(st, f))[np.asarray(perm)]
+            got = np.asarray(getattr(out, f))
+            assert got.dtype == want.dtype, f
+            np.testing.assert_array_equal(got, want, err_msg=f)
+        # and the inverse permutation restores the original exactly
+        back = jax.jit(permute_state)(out, jnp.argsort(perm))
+        for f in _ALL_AGENT_FIELDS:
+            np.testing.assert_array_equal(np.asarray(getattr(back, f)),
+                                          np.asarray(getattr(st, f)),
+                                          err_msg=f)
