@@ -58,15 +58,30 @@ def cell_keys(x, y, cell_size):
     candidate count jumps ~1.5x (the sharp optimum documented in
     BASELINE.md).
 
+    The actual column width is cell_size snapped UP so an integer number
+    of columns tiles the x-span exactly (width' = span / floor(span /
+    cell_size)). A fixed width leaves a fractional trailing SLIVER
+    column (span/cell_size is never integral); its handful of agents are
+    spread over the domain's full height, so the sorted blocks straddling
+    into it get ~full-height bounding boxes that are "in range" of every
+    block of the neighboring dense column -- measured at N = 2e6: max
+    in-range count 34 (vs mean 13.9) from exactly the trailing-edge
+    blocks; snapping removes the sliver at a <=1%% mean-width cost and
+    cannot trip the 2-away-column jump because the width only grows.
+
     int32 composite key (works without x64): supports up to 65536
     columns (~3500 km of domain at the default ~54 m column width); y is
     resolved to (domain height / 32768) within a column.
     """
     xmin = jnp.min(x)
     ymin = jnp.min(y)
+    xspan = jnp.maximum(jnp.max(x) - xmin, 1e-9)
     yspan = jnp.maximum(jnp.max(y) - ymin, 1e-9)
+    ncols = jnp.maximum(jnp.floor(xspan / cell_size), 1.0)
+    eff = xspan / ncols
     m = jnp.int32(1 << 15)
-    ix = jnp.floor((x - xmin) / cell_size).astype(jnp.int32)
+    ix = jnp.clip(jnp.floor((x - xmin) / eff).astype(jnp.int32),
+                  0, ncols.astype(jnp.int32) - 1)
     iy = jnp.clip(((y - ymin) / yspan * (1 << 15)).astype(jnp.int32),
                   0, m - 1)
     iy = jnp.where(ix % 2 == 0, iy, m - 1 - iy)

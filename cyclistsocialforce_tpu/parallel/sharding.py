@@ -291,13 +291,22 @@ def _reshard_rows(lstate, extras, idx, axis):
     return st, ex
 
 
-def _global_reshard(engine, lstate, ident, axis):
+def _global_reshard(engine, lstate, ident, axis, from_original=False):
     """Re-distribute agents into globally cell-sorted strips: every
     device computes the same global serpentine cell sort from the
     all-gathered positions (2 floats/agent), then takes its strip's rows
     from the packed global state. After this, device d's rows are global
     sort positions [d*n_l, (d+1)*n_l) -- spatially contiguous, so its
-    in-cutoff source blocks live on d and its ring neighbors."""
+    in-cutoff source blocks live on d and its ring neighbors.
+
+    from_original=True computes the sort permutation with the agents
+    arranged in ORIGINAL row order (via the carried `ident` column)
+    before sorting: argsort tie-breaks depend on the input row order and
+    block/kb truncation is tie-sensitive, so this is what makes the halo
+    schedule bit-exact against Engine.simulate's NON-sorted-resident
+    chunk path (which rebuilds from original order each chunk), while
+    sorted-resident engines sort from the previous chunk's order exactly
+    like Engine.simulate's chunk_sr."""
     from cyclistsocialforce_tpu.ops import neighbors as NB
 
     cfg = engine.neighbors
@@ -305,7 +314,12 @@ def _global_reshard(engine, lstate, ident, axis):
     d = jax.lax.axis_index(axis)
     x_g = jax.lax.all_gather(lstate.s[:, X], axis, tiled=True)
     y_g = jax.lax.all_gather(lstate.s[:, Y], axis, tiled=True)
-    perm = NB.sort_by_cell(x_g, y_g, cfg.cutoff + cfg.skin)
+    if from_original:
+        inv = jnp.argsort(jax.lax.all_gather(ident, axis, tiled=True))
+        perm = inv[NB.sort_by_cell(x_g[inv], y_g[inv],
+                                   cfg.cutoff + cfg.skin)]
+    else:
+        perm = NB.sort_by_cell(x_g, y_g, cfg.cutoff + cfg.skin)
     idx = jax.lax.dynamic_slice_in_dim(perm, d * nl, nl)
     st, (ident,) = _reshard_rows(lstate, [ident], idx, axis)
     return st, ident
@@ -380,14 +394,20 @@ def required_halo(engine: Engine, state: AgentState, n_devices: int) -> int:
                          "size and local shards divisible by block")
     nl = n // n_devices
     cut = cfg.cutoff + cfg.skin
-    x, y = state.s[:, X], state.s[:, Y]
-    perm = NB.sort_by_cell(x, y, cut)
-    xs, ys = x[perm], y[perm]
-    boxes = NB.block_bboxes(xs, ys, cfg.block)
-    src_boxes = (boxes if cfg.block_src == cfg.block
-                 else NB.block_bboxes(xs, ys, cfg.block_src))
-    nbr, valid, _ = NB.neighbor_block_table(boxes, cut, cfg.kb,
-                                            src_bboxes=src_boxes)
+    # host-CPU backend: the offline audit must neither hit the dense
+    # [B, B_src] bbox-table HBM wall at mega scale (honor table_chunk)
+    # nor share the remote-TPU tunnel with the run it is sizing
+    with jax.default_device(jax.devices("cpu")[0]):
+        x = jnp.asarray(np.asarray(state.s[:, X]))
+        y = jnp.asarray(np.asarray(state.s[:, Y]))
+        perm = NB.sort_by_cell(x, y, cut)
+        xs, ys = x[perm], y[perm]
+        boxes = NB.block_bboxes(xs, ys, cfg.block)
+        src_boxes = (boxes if cfg.block_src == cfg.block
+                     else NB.block_bboxes(xs, ys, cfg.block_src))
+        nbr, valid, _ = NB.neighbor_block_table(
+            boxes, cut, cfg.kb, src_bboxes=src_boxes,
+            chunk=cfg.table_chunk)
     nbr, valid = np.asarray(nbr), np.asarray(valid)
     bl = nl // cfg.block
     bl_src = nl // cfg.block_src
@@ -462,6 +482,11 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
     block-sparse path per device (local cell sort + gathered block-bbox
     neighbor table + tile kernel) instead of the dense `comm` schedule.
     """
+    if comm == "halo":
+        raise ValueError(
+            "comm='halo' amortizes its global reshard over a rebuild "
+            "chunk, so it only exists for sharded_simulate_fn; a "
+            "single sharded step has no chunk to amortize over")
     _check_sharded_support(engine, comm)
     specs = state_pspecs(axis)
     rep_comm = _REP_COMMS[comm]
@@ -592,14 +617,24 @@ def _sharded_simulate_halo_fn(engine, mesh, n_steps, axis, record, halo):
                          "order across rebuild chunks; per-step "
                          "recording is not supported (use comm="
                          "'allgather')")
-    if engine.scripted is not None or engine.pair_family == "custom":
-        raise ValueError("comm='halo' supports neither scripted agents "
-                         "nor custom force tiles")
+    # rejects scripted agents, custom rep_reduce hooks (pair tiles only
+    # SUM; a custom receiver-side reduction would be silently wrong
+    # physics), and custom-family force tiles -- same contract as every
+    # other culled sharded schedule
+    _check_sharded_support(engine, "halo")
     if halo < 1:
         raise ValueError("halo must be >= 1 source block per side")
     specs = state_pspecs(axis)
     cfg = engine.neighbors
     k = max(cfg.rebuild_every, 1)
+    # mirror _flat_sorted_resident_ok: scripted/custom/record are already
+    # rejected above and shard divisibility is checked in local_run, so
+    # the knob is the remaining condition. Non-sorted-resident engines
+    # still keep rows strip-resident across a chunk (the halo exchange
+    # requires it), but their global sort is computed from ORIGINAL row
+    # order so tables -- and results -- are bit-identical to the
+    # single-device non-SR chunk path.
+    from_original = not engine.sorted_resident
 
     def local_run(lstate):
         nl = lstate.n
@@ -615,7 +650,8 @@ def _sharded_simulate_halo_fn(engine, mesh, n_steps, axis, record, halo):
 
         def chunk(carry, _, m):
             st, ident, ovf = carry
-            st, ident = _global_reshard(engine, st, ident, axis)
+            st, ident = _global_reshard(engine, st, ident, axis,
+                                        from_original=from_original)
             cache = _neighbor_cache_halo(engine, st, axis, halo)
 
             def inner(st, _):

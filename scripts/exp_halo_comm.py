@@ -1,11 +1,12 @@
 """Per-step collective traffic of the sharded culled schedules.
 
 Compiles each comm schedule over an 8-virtual-device CPU mesh and sums
-the byte volume of every collective (all-gather / collective-permute /
-all-reduce) in the optimized HLO, attributing rebuild-time collectives
-to their chunk. Virtual CPU devices share cores so WALL CLOCK cannot
-show a speedup -- the collective BYTE VOLUME is the device-count- and
-hardware-independent quantity the halo schedule improves:
+the STATIC byte volume of every collective (all-gather /
+collective-permute / all-reduce) occurrence in the optimized HLO; the
+analytic section below scales by the actual loop trip counts. Virtual
+CPU devices share cores so WALL CLOCK cannot show a speedup -- the
+collective BYTE VOLUME is the device-count- and hardware-independent
+quantity the halo schedule improves:
 
     allgather: one [N, 16] source all-gather EVERY step
     ring:      D hops of [N/D, 16] ppermute per step (same total bytes)
@@ -33,20 +34,26 @@ DT = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "pred": 1, "s8": 1}
 
 
 def collective_bytes(hlo: str):
-    """Sum output-shape bytes of collective ops, scaled by trip count
-    (ops inside a while body execute once per loop iteration -- we use
-    the known loop trip counts instead of parsing them)."""
+    """Sum output-shape bytes of every collective op occurrence in the
+    optimized HLO (STATIC footprint -- in-loop ops are counted once, not
+    per trip; the analytic per-step section below is the trip-scaled
+    ground truth). Handles both plain `f64[...]` outputs and the tuple
+    outputs XLA's collective combiner emits for merged variadic
+    gathers (`(f64[...], s32[...]) all-gather`)."""
     out = {}
     for line in hlo.splitlines():
-        m = re.search(
-            r"(\w+) = (\w+)\[([\d,]*)\][^=]*(all-gather|"
-            r"collective-permute|all-reduce)\(", line)
+        m = re.search(r"= ([^=]*?)(all-gather|collective-permute|"
+                      r"all-reduce)\(", line)
         if not m:
             continue
-        dtype, dims, kind = m.group(2), m.group(3), m.group(4)
-        elems = int(np.prod([int(d) for d in dims.split(",") if d])
-                    if dims else 1)
-        out.setdefault(kind, []).append(elems * DT.get(dtype, 4))
+        kind = m.group(2)
+        tot = 0
+        for dtype, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            elems = int(np.prod([int(d) for d in dims.split(",") if d])
+                        if dims else 1)
+            tot += elems * DT.get(dtype, 4)
+        if tot:
+            out.setdefault(kind, []).append(tot)
     return out
 
 
@@ -69,7 +76,6 @@ def main():
     mesh = make_mesh()
     sh = shard_state(st, mesh)
     k = eng.neighbors.rebuild_every
-    n_chunks = args.steps // k
 
     print(f"N={args.n}, D=8, steps={args.steps}, rebuild_every={k}")
     for comm in ("allgather", "ring", "halo"):
@@ -80,13 +86,6 @@ def main():
                                   comm=comm, **kw)
         hlo = run.lower(sh).compile().as_text()
         per = collective_bytes(hlo)
-        # static occurrence count x the loop structure: every collective
-        # in these programs sits either in the per-step inner scan
-        # (executes `steps` times) or the per-chunk outer scan
-        # (executes `n_chunks` times). Attribute by position: the halo
-        # reshard gathers are chunk-level, everything else step-level;
-        # we conservatively report TOTAL static bytes and bytes/step
-        # assuming the known loop nesting.
         tot = sum(sum(v) for v in per.values())
         detail = ", ".join(f"{kk}: {len(vv)} ops / {sum(vv)/2**20:.2f} MiB"
                            for kk, vv in sorted(per.items()))
@@ -103,9 +102,11 @@ def main():
     # packed state columns: read K from the state layout
     from cyclistsocialforce_tpu.engine import pack_state_rows
     pT, ipT = pack_state_rows(st)
-    kcols = pT.shape[0] + (0 if ipT is None else ipT.shape[0])
+    kf = pT.shape[0]
+    ki = 0 if ipT is None else ipT.shape[0]
     halo_step = 2 * h * bs * 16 * f
-    halo_rebuild = (kcols + 2) * n * f + n * 4  # pack + x/y gathers + ident
+    # float pack + separate int32 pack + x/y gathers + int32 ident carry
+    halo_rebuild = (kf + 2) * n * f + ki * n * 4 + n * 4
     print(f"\nanalytic per-step source-exchange bytes (f64):")
     print(f"  allgather/ring: {ag / 2**20:.3f} MiB/step")
     print(f"  halo:           {halo_step / 2**20:.3f} MiB/step "

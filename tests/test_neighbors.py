@@ -83,7 +83,13 @@ def test_cell_keys_fine_y_serpentine_order():
     perm = np.asarray(NB.sort_by_cell(x, y, cell))
     xs = np.asarray(x)[perm]
     ys = np.asarray(y)[perm]
-    col = np.floor((xs - xs.min()) / cell).astype(int)
+    # the key snaps the column width UP so an integer number of columns
+    # tiles the x-span exactly (no trailing sliver column)
+    span = xs.max() - xs.min()
+    eff = span / np.floor(span / cell)
+    assert eff >= cell
+    col = np.minimum(np.floor((xs - xs.min()) / eff),
+                     np.floor(span / cell) - 1).astype(int)
     # columns appear in nondecreasing order
     assert (np.diff(col) >= 0).all()
     y_res = (np.asarray(y).max() - np.asarray(y).min()) / (1 << 15)

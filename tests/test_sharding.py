@@ -496,3 +496,49 @@ def test_sharded_halo_rejections():
     _, eng_culled, _ = _setup_culled(16 * len(jax.devices()))
     with pytest.raises(ValueError, match="record"):
         sharded_simulate_fn(eng_culled, mesh, 4, record=True, comm="halo")
+
+
+def test_sharded_halo_nonsorted_resident_matches_single_device():
+    """Engines with sorted_resident=False take Engine.simulate's NON-SR
+    chunk path, which re-sorts from ORIGINAL row order each chunk --
+    argsort tie-breaks differ from the SR path's sorted-order input, so
+    the halo schedule computes its global sort in original-id space for
+    these engines. Bit-exact match required."""
+    from cyclistsocialforce_tpu import Engine
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, required_halo, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 1024 * n_dev
+    eng, st = _setup_halo(n, kb=64)
+    eng = eng.replace(sorted_resident=False)
+    n_steps = 14    # 3 chunks of 4 + remainder 2
+
+    h = required_halo(eng, st, n_dev) + 1
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, n_steps, record=False,
+                              comm="halo", halo=h)
+    out, ovf = run(shard_state(st, mesh))
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_halo_step_fn_and_rep_reduce_rejected():
+    import pytest
+
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, sharded_simulate_fn, sharded_step_fn)
+
+    _, eng_culled, st = _setup_culled(16 * len(jax.devices()))
+    mesh = make_mesh()
+    # halo is simulate-only (no chunk to amortize the reshard over)
+    with pytest.raises(ValueError, match="simulate"):
+        sharded_step_fn(eng_culled, mesh, comm="halo")
+    # custom receiver-side reductions would be silently wrong physics
+    # under the sum-only pair tiles: same loud rejection as other comms
+    eng_rr = eng_culled.replace(rep_reduce=lambda acc, new: acc + new)
+    with pytest.raises(ValueError, match="rep_reduce"):
+        sharded_simulate_fn(eng_rr, mesh, 4, record=False, comm="halo")
