@@ -542,3 +542,51 @@ def test_sharded_halo_step_fn_and_rep_reduce_rejected():
     eng_rr = eng_culled.replace(rep_reduce=lambda acc, new: acc + new)
     with pytest.raises(ValueError, match="rep_reduce"):
         sharded_simulate_fn(eng_rr, mesh, 4, record=False, comm="halo")
+
+
+def test_sharded_halo_spline_family_matches_single_device():
+    """The halo reshard moves the WHOLE packed state across chips --
+    incl. the spline family's pos_hist ring buffer and global step
+    clock. A culled twod engine under comm='halo' must stay bit-exact
+    vs its single-device run."""
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, required_halo, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 512 * n_dev
+    rng = np.random.default_rng(7)
+    side = 0.5 * np.sqrt(n / 0.02)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-side, side, n)
+    s0[:, 1] = rng.uniform(-side, side, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64, hist_len=128)
+    dst = np.c_[s0[:, 0] + 80, s0[:, 1], np.zeros(n)]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(
+                        jnp.asarray(dst)))
+    p = InvPendulumBicycleParams.create()
+    m = MODELS["twod"]
+    st = prepare(m, p, st)
+    eng = Engine.create(p, m, neighbors=NeighborConfig(
+        cutoff=20.0, block=16, kb=n // 16, backend="xla",
+        rebuild_every=4))
+
+    n_steps = 10    # 2 chunks of 4 + remainder 2
+    h = required_halo(eng, st, n_dev) + 1
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, n_steps, record=False,
+                              comm="halo", halo=h)
+    out, ovf = run(shard_state(st, mesh))
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
