@@ -21,6 +21,9 @@ Components:
     (reference scenario.py:135-159, 198-223; OpenCV assembly).
   - `plot_states` / `plot_forces`: per-agent state/force time series
     (reference vehicle.py:734-917).
+  - `density_map` / `plot_density`: device-side crowd occupancy /
+    mean-speed heatmaps -- the mega-scale (100k-4M agent) view the
+    per-agent drawing surface cannot reach (no reference counterpart).
 """
 
 from __future__ import annotations
@@ -548,6 +551,93 @@ def eval_potential_field(x, y, state, params, agent=None):
     if n == 1:
         return np.asarray(P[0]).reshape(shape)
     return np.asarray(P).reshape((n,) + shape)
+
+
+def density_map(x, y, xlim, ylim, bins=512, values=None, active=None):
+    """Device-side 2-D crowd histogram: per-cell agent counts (or the
+    per-cell MEAN of a per-agent quantity) over (xlim, ylim).
+
+    Per-agent drawings (SceneDrawing, the reference's VehicleDrawing
+    surface) stop being readable -- and affordable -- beyond a few
+    hundred agents; this is the mega-scale view for the 100k-4M
+    populations this engine runs (demos/demo_scale.py). One scatter-add
+    per agent on the device, so only the [bins, bins] image crosses to
+    the host. The reference has no counterpart (its scenarios top out
+    at tens of agents, reference scenario.py:96-113).
+
+    Args:
+      x, y: [N] agent positions (device or host arrays).
+      xlim, ylim: (lo, hi) map bounds; agents outside are dropped.
+      bins: int or (nx, ny) cell counts.
+      values: optional [N] per-agent quantity (e.g. speed `state.s[:, 3]`);
+        the map then holds its per-cell mean over present agents
+        (empty cells are 0).
+      active: optional [N] bool mask; False rows (padding agents) are
+        excluded.
+
+    Returns (H, extent): H a [ny, nx] float32 array (row i = y cell i),
+    extent = (x0, x1, y0, y1) -- imshow-ready with origin="lower".
+    """
+    import jax.numpy as jnp
+
+    nx, ny = (bins, bins) if isinstance(bins, int) else bins
+    x0, x1 = map(float, xlim)
+    y0, y1 = map(float, ylim)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    ix = jnp.clip(((x - x0) * (nx / (x1 - x0))).astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(((y - y0) * (ny / (y1 - y0))).astype(jnp.int32), 0, ny - 1)
+    inside = (x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)
+    if active is not None:
+        inside = inside & jnp.asarray(active)
+    flat = iy * nx + ix
+    w = inside.astype(jnp.float32)
+    counts = jnp.zeros(ny * nx, jnp.float32).at[flat].add(w)
+    if values is not None:
+        sums = jnp.zeros(ny * nx, jnp.float32).at[flat].add(
+            w * jnp.asarray(values).astype(jnp.float32))
+        H = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
+    else:
+        H = counts
+    return np.asarray(H).reshape(ny, nx), (x0, x1, y0, y1)
+
+
+def plot_density(state, xlim=None, ylim=None, bins=512, quantity="count",
+                 ax=None, cmap="magma", log=True, colorbar=True):
+    """Heatmap of a (mega-scale) population: agent count or mean speed
+    per cell (imshow of `density_map`).
+
+    quantity: "count" (log-normed occupancy by default) or "speed"
+    (per-cell mean of `state.s[:, 3]`, linear). Bounds default to the
+    active agents' bounding box. Returns the AxesImage.
+    """
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import LogNorm
+
+    s = state.s
+    act = np.asarray(state.active)
+    if xlim is None or ylim is None:
+        xh = np.asarray(s[:, 0])[act]
+        yh = np.asarray(s[:, 1])[act]
+        xlim = xlim or (float(xh.min()), float(xh.max()))
+        ylim = ylim or (float(yh.min()), float(yh.max()))
+    values = s[:, 3] if quantity == "speed" else None
+    H, extent = density_map(s[:, 0], s[:, 1], xlim, ylim, bins=bins,
+                            values=values, active=state.active)
+    if ax is None:
+        _, ax = plt.subplots()
+    norm = (LogNorm(vmin=1, vmax=max(H.max(), 1.0))
+            if (log and quantity == "count") else None)
+    im = ax.imshow(H, origin="lower", extent=extent, norm=norm,
+                   cmap=cmap, aspect="equal",
+                   interpolation="nearest")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    if colorbar:
+        label = ("agents / cell" if quantity == "count"
+                 else "mean speed [m/s]")
+        ax.figure.colorbar(im, ax=ax, label=label)
+    return im
 
 
 def plot_fft(t, x, axes=None):

@@ -31,6 +31,10 @@ def main():
                     help="dense O(N^2) instead of neighbor culling")
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla", "interpret"])
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="write a crowd density heatmap of the final "
+                         "state (viz.plot_density; occupancy + mean "
+                         "speed panels)")
     ap.add_argument("--model", default="bicycle2d",
                     choices=["bicycle2d", "twod", "invpendulum",
                              "balancingrider"],
@@ -80,6 +84,25 @@ def main():
     print(f"{args.agents} agents x {args.steps} steps in {dt:.3f} s")
     print(f"= {asps:,.0f} agent-steps/sec "
           f"({asps / (100 * args.agents):.2f}x real time)")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from cyclistsocialforce_tpu.viz import plot_density
+
+        # the per-agent drawing surface cannot render 100k agents;
+        # the density view is the mega-scale counterpart
+        fig, axes = plt.subplots(1, 2, figsize=(13, 5.5),
+                                 layout="constrained")
+        plot_density(out, bins=512, ax=axes[0])
+        axes[0].set_title(f"occupancy after {args.steps} steps "
+                          f"(N={args.agents:,})")
+        plot_density(out, bins=512, quantity="speed", ax=axes[1])
+        axes[1].set_title("mean speed [m/s]")
+        fig.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"density heatmap -> {args.plot}")
 
 
 if __name__ == "__main__":

@@ -299,3 +299,48 @@ def test_gridsearch_and_marginal_plots():
     figs = plot_marginals(gmm, X_train=X[:80], X_test=X[80:], n_grid=24)
     assert len(figs) == 2                    # 2D + 1D panels
     plt.close("all")
+
+
+def test_density_map_counts_and_means():
+    """density_map: exact per-cell counts, per-cell mean of values,
+    inactive/outside agents excluded; plot_density renders headless."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from cyclistsocialforce_tpu import make_state
+    from cyclistsocialforce_tpu.viz import density_map, plot_density
+
+    # 4x4 grid over [0,4)x[0,4): three agents in cell (0,0), one in
+    # (3,2) [x cell 2, y cell 3], one inactive and one outside dropped
+    x = np.array([0.1, 0.2, 0.9, 2.5, 0.5, 9.0])
+    y = np.array([0.1, 0.8, 0.2, 3.5, 0.5, 1.0])
+    active = np.array([True, True, True, True, False, True])
+    v = np.array([1.0, 2.0, 3.0, 5.0, 100.0, 100.0])
+
+    H, extent = density_map(x, y, (0, 4), (0, 4), bins=4, active=active)
+    assert extent == (0.0, 4.0, 0.0, 4.0)
+    assert H.shape == (4, 4)
+    assert H[0, 0] == 3.0 and H[3, 2] == 1.0
+    assert H.sum() == 4.0                      # inactive + outside dropped
+
+    M, _ = density_map(x, y, (0, 4), (0, 4), bins=4, values=v,
+                       active=active)
+    np.testing.assert_allclose(M[0, 0], 2.0)   # mean(1, 2, 3)
+    np.testing.assert_allclose(M[3, 2], 5.0)
+    assert M[1, 1] == 0.0                      # empty cells are 0
+
+    # anisotropic bins: nx=8, ny=2
+    H2, _ = density_map(x, y, (0, 4), (0, 4), bins=(8, 2), active=active)
+    assert H2.shape == (2, 8)
+    assert H2.sum() == 4.0
+
+    st = make_state(np.array([[0.5, 0.5, 0.0, 3.0, 0.0],
+                              [2.5, 3.5, 0.0, 5.0, 0.0]]))
+    im = plot_density(st, bins=16)
+    assert im.get_array().sum() == 2.0
+    im2 = plot_density(st, xlim=(0, 4), ylim=(0, 4), bins=4,
+                       quantity="speed")
+    np.testing.assert_allclose(np.asarray(im2.get_array()).max(), 5.0)
+    plt.close("all")
