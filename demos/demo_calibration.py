@@ -9,6 +9,14 @@ cross-validated grid search.
     python demos/demo_calibration.py
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 

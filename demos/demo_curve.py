@@ -7,6 +7,14 @@ forces; optionally plots the road force field.
     python demos/demo_curve.py --plot-field
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -12,6 +12,14 @@ mixed-family tile path at thousands of agents.
     python demos/demo_mixed_traffic.py --plot out.png
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -7,6 +7,14 @@ destination force (curvature-limited desired speed).
     python demos/demo_parcours.py --model twod --video parcours.mp4
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -8,6 +8,14 @@ the BalancingRider paper.
     python demos/demo_polemodel.py --model BR1 --out poles.png
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -8,6 +8,14 @@ repulsion via the Pallas kernel, bicycle dynamics) in real time.
     python demos/demo_scale.py --agents 100000 --steps 100
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -8,6 +8,14 @@ matplotlib animation, `--video out.mp4` writes a video.
     python demos/demo_standalone.py --model balancingrider --animate
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -9,6 +9,14 @@ traci/libsumo session instead.
     python demos/demo_sumo.py --bikes 8 --steps 4000
 """
 
+import os
+import sys
+
+# runnable as `python demos/<name>.py` from anywhere: put the repo
+# root (the package + __graft_entry__) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
