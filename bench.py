@@ -182,7 +182,8 @@ def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(n_agents, dtype=np.float32, density=density,
-                      hist_len=8, pad_to_block=BLOCK)
+                      hist_len=8, pad_to_block=BLOCK,
+                      model_name="balancingrider")
     cfg = NeighborConfig(
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
         sub=0, screen=False, block_src=BLOCK_SRC,
@@ -247,8 +248,10 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     hist = 8 if row == "stochastic" else 128   # spline lookback needs 128
+    model_name = "balancingrider" if row == "stochastic" else row
     _, state = _build(n_agents, dtype=np.float32, density=density,
-                      hist_len=hist, pad_to_block=BLOCK)
+                      hist_len=hist, pad_to_block=BLOCK,
+                      model_name=model_name)
     cfg = NeighborConfig(
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
         sub=0, screen=False, block_src=BLOCK_SRC,

@@ -734,6 +734,10 @@ class Engine(struct.PyTreeNode):
     road: Any = None                        # RoadElements or None
     scripted: Any = None                    # ScriptedTraj or None
     model_step: Callable = struct.field(pytree_node=False, default=None)
+    # the model's declared internal-field widths (STATE_WIDTHS), kept so
+    # step() can reject a state built for a DIFFERENT model at trace time
+    # (make_state(model=...) zero-sizes untouched fields)
+    state_widths: Any = struct.field(pytree_node=False, default=None)
     dest_force: Callable = struct.field(pytree_node=False,
                                         default=dest_force_straight)
     rep_force: Callable | None = struct.field(pytree_node=False,
@@ -823,7 +827,9 @@ class Engine(struct.PyTreeNode):
             sorted_resident = bool(getattr(model, "SORTED_RESIDENT",
                                            True))
         return cls(params=params, road=road, scripted=scripted,
-                   model_step=model.step, dest_force=dest, rep_force=rep,
+                   model_step=model.step,
+                   state_widths=getattr(model, "STATE_WIDTHS", None),
+                   dest_force=dest, rep_force=rep,
                    priority_p2r=(priority_rule == "p2r"),
                    rep_chunk=rep_chunk, rep_reduce=rep_reduce,
                    combine_forces=combine, neighbors=neighbors,
@@ -1199,6 +1205,7 @@ class Engine(struct.PyTreeNode):
                          presorted: bool = False):
         """One full step; also returns the applied forces (for saveForces
         histories, reference vehicle.py:162-164)."""
+        _check_state_widths(self.state_widths, state)
         before = state
         fx, fy, state = self.calc_forces(state, nbr_cache,
                                          presorted=presorted)
@@ -1366,6 +1373,24 @@ def _simulate_flat_impl(self, state: AgentState, n_steps: int, k: int,
 
 
 Engine._simulate_flat = _simulate_flat_impl
+
+
+def _check_state_widths(widths, state):
+    """Trace-time guard: a state built with make_state(model=A) carries
+    zero-width internal fields A never touches; running model B on it
+    would SILENTLY slice empty arrays (JAX clamps/drops out-of-bounds
+    lane indices) instead of erroring. Shapes are static, so this costs
+    nothing inside jit."""
+    if not widths:
+        return
+    for f, need in widths.items():
+        a = getattr(state, f, None)
+        if a is not None and a.ndim > 1 and a.shape[1] < need:
+            raise ValueError(
+                f"state.{f} has width {a.shape[1]} but this model needs "
+                f">= {need}: the state was built for a different model "
+                f"(make_state(model=...)); rebuild it with this model or "
+                f"with the default widths")
 
 
 _PER_AGENT_FIELDS = (

@@ -303,6 +303,16 @@ class MixedEngine(struct.PyTreeNode):
 
     def step(self, state: AgentState, nbr_cache=None) -> AgentState:
         before = state
+        # mixed populations need the union of every group's internal
+        # fields -- a state right-sized for ONE model (make_state(model=))
+        # would silently slice empty arrays for the others
+        from cyclistsocialforce_tpu.models import MODELS
+        for g in self.groups:
+            mod = next((m for m in MODELS.values()
+                        if m.step is g.model_step), None)
+            if mod is not None:
+                eng._check_state_widths(
+                    getattr(mod, "STATE_WIDTHS", None), state)
         fx, fy, state = self.calc_forces(state, nbr_cache)
         for gi, g in enumerate(self.groups):
             sub = state_slice(state, g.lo, g.hi)

@@ -58,6 +58,7 @@ from cyclistsocialforce_tpu.utils.angles import (angle_difference,
 N_STATES = 8
 REP_FORCE = "twod"
 DEST_FORCE = "direct"   # calc_direct_approach_dest_force, vehicle.py:2078
+STATE_WIDTHS = {"dyn_x": 7, "dyn_gains": 12, "zrid": 0}
 
 # dyn_gains layout
 _KX = slice(0, 5)        # cached feedback gains K_x

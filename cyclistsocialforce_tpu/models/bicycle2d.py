@@ -26,6 +26,9 @@ from cyclistsocialforce_tpu.utils.angles import (
 N_STATES = 5
 REP_FORCE = "legacy"   # reference Bicycle uses the legacy elliptic field
 DEST_FORCE = "straight"
+# internal state fields this model touches (make_state(model=...) sizes
+# the rest to zero width -- see state.make_state)
+STATE_WIDTHS = {"dyn_x": 0, "dyn_gains": 0, "zrid": 0}
 
 
 def control(params, state: AgentState, fx, fy):

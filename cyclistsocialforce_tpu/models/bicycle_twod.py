@@ -27,6 +27,7 @@ DEST_FORCE = "spline"
 # threshold (BASELINE.md "Global-clock" section: 7.04 ms/step SR vs
 # 8.21 no-SR at bench scale) -- sorted residency is a win again
 SORTED_RESIDENT = True
+STATE_WIDTHS = {"dyn_x": 0, "dyn_gains": 0, "zrid": 0}
 
 
 def step(params, state: AgentState, fx, fy) -> AgentState:

@@ -45,6 +45,7 @@ from cyclistsocialforce_tpu.utils.angles import (angle_difference,
 N_STATES = 8
 REP_FORCE = "twod"
 DEST_FORCE = "direct"
+STATE_WIDTHS = {"dyn_x": 7, "dyn_gains": 0, "zrid": 0}
 
 
 class HessBikeRiderParams(BalancingRiderParams):

@@ -41,6 +41,7 @@ DEST_FORCE = "spline"
 # chunks (BASELINE.md round 3) -- engines built on it default to the
 # gather path
 SORTED_RESIDENT = False
+STATE_WIDTHS = {"dyn_x": 5, "dyn_gains": 0, "zrid": 2}
 
 WALK_OK_CAP = 1 << 20
 

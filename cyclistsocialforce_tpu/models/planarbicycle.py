@@ -43,6 +43,7 @@ from cyclistsocialforce_tpu.utils.angles import limit_angle
 N_STATES = 5
 REP_FORCE = "twod"
 DEST_FORCE = "spline"
+STATE_WIDTHS = {"dyn_x": 2, "dyn_gains": 0, "zrid": 0}
 
 # from_pole_placement's hardcoded step-response schedule
 # (reference dynamics.py:1167-1178: t_end=10.0, t_s=0.01, step at k=10)

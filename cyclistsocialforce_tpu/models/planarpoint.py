@@ -34,6 +34,7 @@ from cyclistsocialforce_tpu.utils.angles import limit_angle, thresh
 N_STATES = 4
 REP_FORCE = "twod"     # PlanarPointBicycle borrows TwoDBicycle forces
 DEST_FORCE = "spline"  # (reference vehicle.py:2022-2024)
+STATE_WIDTHS = {"dyn_x": 3, "dyn_gains": 0, "zrid": 0}
 
 
 def yaw_gain(params):

@@ -94,9 +94,14 @@ class AgentState(struct.PyTreeNode):
         return self.destqueue.shape[1]
 
 
+# default widths of the model-dependent internal fields (the most any
+# shipped model needs); `make_state(model=...)` right-sizes them instead
+_DEFAULT_WIDTHS = {"dyn_x": 7, "dyn_gains": 12, "zrid": 2}
+
+
 def make_state(s0, queue_size: int = 16, hist_len: int = 128,
                v_max_walk=None, dtype=jnp.float32,
-               seed: int = 0) -> AgentState:
+               seed: int = 0, model=None) -> AgentState:
     """Create an AgentState population from initial states.
 
     Parameters
@@ -114,7 +119,21 @@ def make_state(s0, queue_size: int = 16, hist_len: int = 128,
     v_max_walk : optional scalar/[N]
         If given, initializes the riding/walking FSM from the initial speed
         (reference vehicle.py:1731-1736); otherwise agents start "riding".
+    model : optional model module (an entry of `models.MODELS`)
+        Right-sizes the model-dependent internal fields (dyn_x, dyn_gains,
+        zrid) to the model's declared `STATE_WIDTHS`; fields the model
+        never touches become ZERO-width. This is a pure memory/layout
+        optimization -- zero-width fields ride through the engine, the
+        sharded schedules, and checkpointing unchanged. It matters at
+        mega scale: arrays a step function never reads keep XLA's default
+        row-major layout, whose (8, 128) tiling pads the narrow minor dim
+        to 128 lanes (~8.5 GB of padding for the three fields at N = 8e6
+        -- the observed HBM wall; used fields get packed layouts anyway).
+        Without `model` the defaults (7/12/2) fit every shipped model.
     """
+    widths = dict(_DEFAULT_WIDTHS)
+    if model is not None:
+        widths.update(getattr(model, "STATE_WIDTHS", {}))
     s0 = jnp.asarray(s0, dtype=dtype)
     if s0.ndim == 1:
         s0 = s0[None]
@@ -130,19 +149,26 @@ def make_state(s0, queue_size: int = 16, hist_len: int = 128,
 
     znav = jnp.zeros((n, 3), dtype=bool).at[:, 0].set(True)
 
-    if v_max_walk is not None:
-        walking = s[:, V] < jnp.asarray(v_max_walk, dtype=dtype)
+    if v_max_walk is not None and widths["zrid"] == 0:
+        raise ValueError(
+            "v_max_walk initializes the riding/walking FSM, but the "
+            "given model declares no zrid state (STATE_WIDTHS['zrid']=0)")
+    if widths["zrid"]:
+        if v_max_walk is not None:
+            walking = s[:, V] < jnp.asarray(v_max_walk, dtype=dtype)
+        else:
+            walking = jnp.zeros((n,), dtype=bool)
+        zrid = jnp.stack([~walking, walking], axis=1)
     else:
-        walking = jnp.zeros((n,), dtype=bool)
-    zrid = jnp.stack([~walking, walking], axis=1)
+        zrid = jnp.zeros((n, 0), dtype=bool)
 
     pos_hist = jnp.broadcast_to(s[:, None, :2], (n, hist_len, 2)).astype(dtype)
 
     return AgentState(
         s=s,
-        dyn_x=jnp.zeros((n, 7), dtype=dtype),
+        dyn_x=jnp.zeros((n, widths["dyn_x"]), dtype=dtype),
         dyn_v=s[:, V],
-        dyn_gains=jnp.zeros((n, 12), dtype=dtype),
+        dyn_gains=jnp.zeros((n, widths["dyn_gains"]), dtype=dtype),
         pid_e=jnp.zeros((n, 2), dtype=dtype),
         pid_i=jnp.zeros((n, 2), dtype=dtype),
         dest=dest,

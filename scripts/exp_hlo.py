@@ -36,7 +36,8 @@ def main():
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(args.agents, dtype=np.float32, density=0.02,
-                      hist_len=args.hist, pad_to_block=128)
+                      hist_len=args.hist, pad_to_block=128,
+                      model_name=args.model)
     cfg = NeighborConfig(cutoff=50.0, block=128, kb=14, rebuild_every=20,
                          screen=False,
                          backend=args.backend if on_tpu else "xla")

@@ -42,8 +42,11 @@ def main():
     n = 100_000
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     hist = 8 if args.row in ("stochastic", "balancingrider") else 128
+    model_name = ("balancingrider"
+                  if args.row in ("stochastic", "flagship", "balancingrider")
+                  else args.row)
     _, state = _build(n, dtype=np.float32, density=0.02, hist_len=hist,
-                      pad_to_block=BLOCK)
+                      pad_to_block=BLOCK, model_name=model_name)
     cfg = NeighborConfig(
         cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
         sub=0, screen=False, block_src=BLOCK_SRC,

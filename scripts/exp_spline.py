@@ -59,7 +59,8 @@ def main():
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(args.agents, dtype=np.float32, density=args.density,
-                      hist_len=args.hist, pad_to_block=128)
+                      hist_len=args.hist, pad_to_block=128,
+                      model_name=args.model)
     cfg = NeighborConfig(
         cutoff=50.0, block=args.block, kb=args.kb,
         rebuild_every=args.rebuild, screen=False,

@@ -46,7 +46,7 @@ def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     hist = 8 if args.model == "bicycle2d" else 128
     _, state = _build(n, dtype=np.float32, density=0.02, hist_len=hist,
-                      pad_to_block=BLOCK)
+                      pad_to_block=BLOCK, model_name=args.model)
     cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=args.kb or KB,
                          block_src=BLOCK_SRC, rebuild_every=args.rebuild,
                          sub=0, screen=False,

@@ -46,7 +46,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(args.agents, dtype=np.float32, density=args.density,
-                      hist_len=8, pad_to_block=128)
+                      model_name="balancingrider", hist_len=8, pad_to_block=128)
     cfg = NeighborConfig(
         cutoff=50.0, block=128, kb=14, rebuild_every=20, screen=False,
         backend="pallas" if on_tpu else "xla")

@@ -142,3 +142,51 @@ def test_permute_state_roundtrip_both_dtypes():
             np.testing.assert_array_equal(np.asarray(getattr(back, f)),
                                           np.asarray(getattr(st, f)),
                                           err_msg=f)
+
+
+def test_model_sized_state_matches_default_widths():
+    """make_state(model=...) zero-sizes the internal fields a model never
+    touches (layout/HBM optimization at mega scale -- untouched [N, c]
+    carries keep XLA's row-major layout whose tiling pads c -> 128
+    lanes). Physics must be bit-identical to the default-width state
+    through the culled sorted-resident simulate, and the zero-width
+    fields must survive the packed permute/checkpoint paths."""
+    from cyclistsocialforce_tpu.engine import permute_state
+    from cyclistsocialforce_tpu.params import BicycleParams
+
+    n = 128
+    rng = np.random.default_rng(7)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 120, n)
+    s0[:, 1] = rng.uniform(0, 120, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    model = MODELS["bicycle2d"]
+    st_d = make_state(s0, dtype=np.float64, hist_len=8)
+    st_m = make_state(s0, dtype=np.float64, hist_len=8, model=model)
+    assert st_m.dyn_x.shape == (n, 0)
+    assert st_m.dyn_gains.shape == (n, 0)
+    assert st_m.zrid.shape == (n, 0)
+
+    cfg = NeighborConfig(cutoff=50.0, block=64, kb=8, backend="xla",
+                         rebuild_every=5, screen=False)
+    eng = Engine.create(as_population(BicycleParams.create(), n), model,
+                        rep_force="twod", neighbors=cfg)
+    run = jax.jit(lambda e, s: e.simulate(s, 20, record=False)[0])
+    out_d, out_m = run(eng, st_d), run(eng, st_m)
+    np.testing.assert_array_equal(np.asarray(out_m.s), np.asarray(out_d.s))
+
+    # zero-width fields ride the packed one-gather permute unchanged
+    perm = jnp.asarray(rng.permutation(n))
+    pm = jax.jit(permute_state)(st_m, perm)
+    assert pm.dyn_x.shape == (n, 0) and pm.zrid.shape == (n, 0)
+    np.testing.assert_array_equal(np.asarray(pm.s),
+                                  np.asarray(st_m.s)[np.asarray(perm)])
+
+    # a model that needs a field it was built without fails loudly
+    try:
+        make_state(s0, v_max_walk=2.0, model=model)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("v_max_walk with zrid width 0 must raise")
