@@ -78,6 +78,10 @@ def main():
     sync(out0)
     pos1 = np.asarray(jax.device_get(out0.s))[:, :2]
     audit_overflow(pos1[:, 0], pos1[:, 1], cfg, f"N={n} t=end")
+    # free the warmup output BEFORE timing: holding a third full state
+    # copy alive (input + out0 + the in-flight run) exhausts HBM at 8M
+    del out0, pos1
+    probe = None
 
     dt = float("inf")
     for _ in range(3):
