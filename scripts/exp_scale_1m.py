@@ -37,6 +37,12 @@ def main():
                          "larger skin widens the in-range count)")
     ap.add_argument("--table_chunk", type=int, default=0)
     ap.add_argument("--segments", type=int, default=1)
+    ap.add_argument("--hist", type=int, default=8,
+                    help="pos_hist ring length (bicycle2d never reads "
+                         "it; [N, H, 2] padding is an HBM lever at 16M)")
+    ap.add_argument("--queue", type=int, default=16,
+                    help="destination-queue capacity (the probe sets one "
+                         "destination; [N, Q, 3] is ~3 GB at Q=16/N=16M)")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +59,8 @@ def main():
 
     n = args.n
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    _, state = _build(n, dtype=np.float32, density=0.02, hist_len=8,
+    _, state = _build(n, dtype=np.float32, density=0.02,
+                      hist_len=args.hist, queue_size=args.queue,
                       pad_to_block=BLOCK)
     cfg = NeighborConfig(cutoff=CUTOFF, block=BLOCK, kb=args.kb or KB,
                          rebuild_every=args.rebuild or REBUILD,
