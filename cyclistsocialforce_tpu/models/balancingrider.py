@@ -180,6 +180,75 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
                     pair_hi(params.v_max_riding)))
     v_mid = (v_new + v_old) / 2.0
 
+    # ---- commanded yaw in the bike frame (dynamics.py:652-671)
+    psi_bike = state.dyn_x[:, 4]
+    psi_F = limit_angle(jnp.arctan2(-fy, fx))
+    psi_c = psi_bike + angle_difference(psi_bike, psi_F)
+
+    # ---- torque disturbances (re-introduced feature; p = 0 -> exact
+    # zeros, so the deterministic path is unaffected)
+    key, sub = jax.random.split(state.key)
+    kr, ks = jax.random.split(sub)
+    b_roll = jax.random.bernoulli(
+        kr, jnp.broadcast_to(jnp.asarray(params.p_dist_roll),
+                             (n,))).astype(dtype)
+    b_steer = jax.random.bernoulli(
+        ks, jnp.broadcast_to(jnp.asarray(params.p_dist_steer),
+                             (n,))).astype(dtype)
+    T_roll = b_roll * _bcast(params, "T_dist_roll", n)
+    T_steer = b_steer * _bcast(params, "T_dist_steer", n)
+    state = state.replace(key=key)
+
+    if getattr(params, "br_prop_lut", None) is not None:
+        # ---- tabulated midpoint PROPAGATOR (deterministic perf mode,
+        # params.create prop_lut=G): the whole closed-loop update
+        # x5' = P(v_mid) x5 + Q(v_mid) u + R(v_mid) T_roll is a pure
+        # smooth function of the midpoint speed, so one flat [G, 40] row
+        # gather + an unrolled SoA 5x5 matvec replaces the A(v) assembly,
+        # the rank-1 gain closure, and the per-agent 5x5 solve below.
+        # Semantics vs the exact path: gains are implicitly K(v_mid)
+        # every step -- the reference's stale-gain quirk (K held while
+        # the speed is unchanged) is dropped; the deviation is bounded
+        # by the last speed increment (<= a_max t_s / 2) and pinned by
+        # tests/test_gains_lut.py.
+        #
+        # MEASURED: a net LOSS vs gains_lut at N = 100k on v5e (14.07M
+        # vs 16.10M agent-steps/s) -- per-row table gathers cost ~0.7
+        # ms each while the exact solve's [N]-wide VPU algebra is
+        # nearly free, so widening the gathered row from [G, 5] to
+        # [G, 40] buys nothing (BASELINE.md "Propagator LUT"). Kept as
+        # an option for hosts where gathers are cheap (CPU mesh).
+        tab, v0, dv = params.br_prop_lut
+        tab = jnp.asarray(tab, dtype=dtype)
+        t = (v_mid - jnp.asarray(v0, dtype)) / jnp.asarray(dv, dtype)
+        t = jnp.clip(t, 0.0, tab.shape[0] - 1.0)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, tab.shape[0] - 2)
+        w = (t - i0.astype(dtype))[:, None]
+        # BARRIER the two row gathers: without it XLA fuses them into
+        # every consumer below, re-materializing the per-row gather once
+        # per matvec element (~25x; measured 15.4 vs 5.8 ms/step bodies
+        # at N = 100k -- same trap engine.permute_state hit)
+        r0, r1 = jax.lax.optimization_barrier((tab[i0], tab[i0 + 1]))
+        row = r0 + (r1 - r0) * w                           # [N, 40]
+        # TRANSPOSE before consuming: the 40+ column extracts below
+        # each sweep the whole 128-lane-padded [N, 40] array; rows of
+        # the [40, N] transpose are contiguous [N] vectors (same trick
+        # as engine.sorted_packs' receiver pack)
+        rt = jax.lax.optimization_barrier(row.T)           # [40, N]
+        # unrolled SoA matvec on [N] rows: neither dot_general
+        # (serializes, ops/smallmat.py rationale) nor [N, 5, 5]
+        # broadcast temps (lane-pad 5 -> 128 resident in HBM)
+        u = rt[39] * psi_c + T_steer                       # K[4] == K_u
+        xs = [state.dyn_x[:, j] for j in range(5)]
+        x5n = [sum(rt[5 * i + j] * xs[j] for j in range(5))
+               + rt[25 + i] * u + rt[30 + i] * T_roll
+               for i in range(5)]
+        psi_mid = (xs[4] + x5n[4]) / 2.0
+        px = state.dyn_x[:, 5] + t_s * v_mid * jnp.cos(psi_mid)
+        py = state.dyn_x[:, 6] + t_s * v_mid * jnp.sin(psi_mid)
+        dyn_x = jnp.stack(x5n + [px, py], axis=1)
+        return _finish(state, dyn_x, v_new, rt[35:40].T)
+
     # ---- gains: recompute only where the speed changed, else keep the
     # cache (reference dynamics.py:680-681)
     A0, A1, A2, B, B_roll = _sysmats(params, n, dtype)
@@ -232,25 +301,6 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
                 params, A0, A1, A2, B, feats, v_mid)
         K = jnp.where(changed[:, None], K_new, state.dyn_gains[:, _KX])
 
-    # ---- commanded yaw in the bike frame (dynamics.py:652-671)
-    psi_bike = state.dyn_x[:, 4]
-    psi_F = limit_angle(jnp.arctan2(-fy, fx))
-    psi_c = psi_bike + angle_difference(psi_bike, psi_F)
-
-    # ---- torque disturbances (re-introduced feature; p = 0 -> exact
-    # zeros, so the deterministic path is unaffected)
-    key, sub = jax.random.split(state.key)
-    kr, ks = jax.random.split(sub)
-    b_roll = jax.random.bernoulli(
-        kr, jnp.broadcast_to(jnp.asarray(params.p_dist_roll),
-                             (n,))).astype(dtype)
-    b_steer = jax.random.bernoulli(
-        ks, jnp.broadcast_to(jnp.asarray(params.p_dist_steer),
-                             (n,))).astype(dtype)
-    T_roll = b_roll * _bcast(params, "T_dist_roll", n)
-    T_steer = b_steer * _bcast(params, "T_dist_steer", n)
-    state = state.replace(key=key)
-
     # ---- closed-form implicit midpoint of the block-triangular system
     # (ops.smallmat: unrolled 5x5 solve -- batched jnp.linalg.solve at
     # N = 100k cost ~138 ms/step on TPU, the unrolled form ~1 ms)
@@ -271,8 +321,11 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
 
     dyn_x = jax.vmap(solve_one)(A0, A1, A2, B, B_roll, K, v_mid, psi_c,
                                 state.dyn_x, t_s, T_roll, T_steer)
+    return _finish(state, dyn_x, v_new, K)
 
-    # ---- bike frame -> CSF state (dynamics.py:321-358)
+
+def _finish(state: AgentState, dyn_x, v_new, K) -> AgentState:
+    """Bike frame -> CSF state (dynamics.py:321-358) + gain cache commit."""
     s_new = jnp.stack([
         dyn_x[:, 5],                       # x
         -dyn_x[:, 6],                      # y

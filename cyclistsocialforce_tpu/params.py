@@ -57,6 +57,30 @@ def _chk_range(name, val, lo, hi, calib_mode=False, verbose=True,
     return val
 
 
+def _repair_lut_rows(tab):
+    """Repair non-finite rows of a speed-grid lookup table in place.
+
+    The plant is uncontrollable at v = 0 exactly (the yaw row of A scales
+    with v), so a grid point landing on it yields a non-finite row -- as
+    does the reference's ct.place. Such isolated rows are repaired by
+    interpolating between the nearest finite neighbors (they sit in
+    walking-branch speed territory, never consumed by the riding path)."""
+    flat = tab.reshape(tab.shape[0], -1)
+    bad = ~np.isfinite(flat).all(axis=1)
+    if bad.any():
+        good = np.where(~bad)[0]
+        for j in np.where(bad)[0]:
+            lo = good[good < j]
+            hi = good[good > j]
+            if len(lo) and len(hi):
+                a, b = lo[-1], hi[0]
+                t = (j - a) / (b - a)
+                tab[j] = (1 - t) * tab[a] + t * tab[b]
+            else:
+                tab[j] = tab[lo[-1] if len(lo) else hi[0]]
+    return tab
+
+
 def _pair(name, val):
     """Validate a (negative, positive) limit pair, e.g. a_max, v_max_riding."""
     val = np.asarray(val, dtype=float)
@@ -460,11 +484,22 @@ class BalancingRiderParams(BicycleParams):
     # pole FEATURES stay exact and only the speed axis is tabulated:
     # (table [G, 6, 5], v_lo, dv).
     br_ackermann_lut: Any = None
+    # Optional precomputed midpoint-PROPAGATOR lookup table (deterministic
+    # mode only): (table [G, 40], v_lo, dv). In deterministic mode the
+    # whole closed-loop implicit-midpoint update is a pure smooth function
+    # of the midpoint speed: with Acl(v) = A(v) - B K(v) and
+    # M(v) = I - h/2 Acl(v), each row holds [P | Q | R | K] where
+    # P = M^-1 (I + h/2 Acl) [25], Q = M^-1 h B [5],
+    # R = M^-1 h B_roll [5], K = K(v) [5] -- so the per-agent 5x5 solve
+    # in models/balancingrider.step collapses to one flat row gather plus
+    # a broadcast 5x5 matvec (see the step() prop branch). Built with the
+    # create()-time t_s; stale if t_s is later replaced.
+    br_prop_lut: Any = None
     # Fields that describe the (single) physical bicycle / behavior model
     # and stay shared across the population in `as_population`.
     POPULATION_SHARED = ("br_A0", "br_A1", "br_A2", "br_B", "br_B_roll",
                          "polemodel_rt", "br_gains_lut",
-                         "br_ackermann_lut")
+                         "br_ackermann_lut", "br_prop_lut")
     # stochastic control behavior (reference parameters.py:1376-1411)
     stochastic_control_behavior: bool = struct.field(
         pytree_node=False, default=False)
@@ -494,7 +529,7 @@ class BalancingRiderParams(BicycleParams):
                controlparam_polemodel_component=0,
                p_dist_roll=0.0, p_dist_steer=0.0,
                T_dist_roll=9000.0, T_dist_steer=1000.0,
-               gains_lut=0, resample_budget=0,
+               gains_lut=0, prop_lut=0, resample_budget=0,
                calib_mode=False, verbose=True, **kw):
         from cyclistsocialforce_tpu import behavior
         from cyclistsocialforce_tpu.ops import whipple
@@ -578,27 +613,7 @@ class BalancingRiderParams(BicycleParams):
                 return (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
                         + v * v * jnp.asarray(A2))
 
-            def _repair(tab):
-                # the plant is uncontrollable at v = 0 exactly (the yaw
-                # row of A scales with v), so a grid point landing on it
-                # yields a non-finite row -- as does the reference's
-                # ct.place. Repair such isolated rows by interpolating
-                # between the nearest finite neighbors.
-                flat = tab.reshape(tab.shape[0], -1)
-                bad = ~np.isfinite(flat).all(axis=1)
-                if bad.any():
-                    good = np.where(~bad)[0]
-                    for j in np.where(bad)[0]:
-                        lo = good[good < j]
-                        hi = good[good > j]
-                        if len(lo) and len(hi):
-                            a, b = lo[-1], hi[0]
-                            t = (j - a) / (b - a)
-                            tab[j] = (1 - t) * tab[a] + t * tab[b]
-                        else:
-                            tab[j] = tab[lo[-1] if len(lo) else hi[0]]
-                return tab
-
+            _repair = _repair_lut_rows
             dv = np.float64((v_hi - v_lo) / (g - 1))
             # build on the host CPU backend: this is a one-time
             # construction sweep, and tracing/compiling it through a
@@ -632,11 +647,62 @@ class BalancingRiderParams(BicycleParams):
                     tab = np.array(jax.vmap(k_at)(jnp.asarray(vs)))
                 lut = (_repair(tab), np.float64(v_lo), dv)
 
+        # optional midpoint-PROPAGATOR table (see the br_prop_lut field
+        # comment): deterministic mode only -- the stochastic model's
+        # per-agent pole features make Acl(v) agent-dependent
+        plut = None
+        if prop_lut:
+            if stochastic_control_behavior:
+                raise ValueError(
+                    "prop_lut tabulates the closed-loop midpoint "
+                    "propagator over speed alone; with stochastic "
+                    "control behavior Acl depends on per-agent pole "
+                    "features (use gains_lut for the Ackermann-basis "
+                    "table instead)")
+            vmr = kw.get("v_max_riding", cls.v_max_riding)
+            v_lo, v_hi = float(pair_lo(vmr)), float(pair_hi(vmr))
+            gp = int(prop_lut)
+            vs_p = np.linspace(v_lo, v_hi, gp)
+            h_ts = float(np.asarray(kw.get("t_s", cls.t_s)))
+            if gains_fixed is not None:
+                Kg = np.broadcast_to(np.asarray(gains_fixed, dtype=float),
+                                     (gp, 5)).copy()
+            else:
+                import jax
+                import jax.numpy as jnp
+
+                from cyclistsocialforce_tpu.ops.control import (
+                    ackermann, charpoly_from_pole_features)
+
+                def k_at_p(v):
+                    feats = (jnp.asarray(pole_lin)[:, 0]
+                             + jnp.asarray(pole_lin)[:, 1] * v)
+                    Av = (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
+                          + v * v * jnp.asarray(A2))
+                    return ackermann(Av, jnp.asarray(B),
+                                     charpoly_from_pole_features(feats))
+
+                with jax.default_device(jax.devices("cpu")[0]):
+                    Kg = np.array(jax.vmap(k_at_p)(jnp.asarray(vs_p)))
+                Kg = _repair_lut_rows(Kg)
+            Av = (A0[None] + vs_p[:, None, None] * A1[None]
+                  + (vs_p ** 2)[:, None, None] * A2[None])
+            Acl = Av - B[None, :, None] * Kg[:, None, :]
+            eye = np.eye(5)[None]
+            Minv = np.linalg.inv(eye - (h_ts / 2.0) * Acl)
+            Pm = Minv @ (eye + (h_ts / 2.0) * Acl)
+            Qv = Minv @ (h_ts * B)
+            Rv = Minv @ (h_ts * B_roll)
+            rows = np.concatenate(
+                [Pm.reshape(gp, 25), Qv, Rv, Kg], axis=1)
+            plut = (_repair_lut_rows(rows), np.float64(v_lo),
+                    np.float64((v_hi - v_lo) / (gp - 1)))
+
         return super().create(
             calib_mode=calib_mode, verbose=verbose,
             br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
             br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
-            br_gains_lut=lut, br_ackermann_lut=ack_lut,
+            br_gains_lut=lut, br_ackermann_lut=ack_lut, br_prop_lut=plut,
             stochastic_control_behavior=bool(stochastic_control_behavior),
             controlparam_resampling_speedthresh=(
                 controlparam_resampling_speedthresh),

@@ -241,3 +241,75 @@ def test_invpendulum_zoh_lut_trajectories_match_exact():
         finals[tag] = np.asarray(f.s)
     dev = np.max(np.abs(finals["lut"][:, :2] - finals["exact"][:, :2]))
     assert dev < 1e-3, dev
+
+
+def test_prop_lut_rows_match_direct_construction():
+    """Each [G, 40] row is [P | Q | R | K] with P = M^-1 (I + h/2 Acl),
+    Q = M^-1 h B, R = M^-1 h B_roll, M = I - h/2 Acl, Acl = A(v) - B K(v)
+    -- rebuilt here independently at a few grid speeds."""
+    p = BalancingRiderParams.create(prop_lut=512, verbose=False)
+    tab, v0, dv = p.br_prop_lut
+    assert tab.shape == (512, 40) and np.all(np.isfinite(tab))
+    h = float(np.asarray(p.t_s))
+    A0, A1, A2 = (np.asarray(p.br_A0), np.asarray(p.br_A1),
+                  np.asarray(p.br_A2))
+    B, B_roll = np.asarray(p.br_B), np.asarray(p.br_B_roll)
+    for g in (200, 350, 511):
+        v = v0 + g * dv
+        K = tab[g, 35:40]
+        A = A0 + v * A1 + v * v * A2
+        Acl = A - np.outer(B, K)
+        M = np.eye(5) - (h / 2.0) * Acl
+        P = np.linalg.solve(M, np.eye(5) + (h / 2.0) * Acl)
+        Q = np.linalg.solve(M, h * B)
+        R = np.linalg.solve(M, h * B_roll)
+        np.testing.assert_allclose(tab[g, :25], P.reshape(25), rtol=1e-12)
+        np.testing.assert_allclose(tab[g, 25:30], Q, rtol=1e-12)
+        np.testing.assert_allclose(tab[g, 30:35], R, rtol=1e-12)
+
+
+def test_prop_lut_trajectories_match_exact():
+    """End-to-end: the tabulated-propagator path stays on the exact
+    path's trajectory (the table folds in BOTH the K(v) interpolation
+    and the dropped stale-gain quirk; measured deviation ~7e-6 m over
+    300 steps in isolation, sub-0.1 mm here over a 200-step simulate)."""
+    rng = np.random.default_rng(11)
+    n = 64
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["balancingrider"]
+    finals = {}
+    for tag, p in (("exact", BalancingRiderParams.create(verbose=False)),
+                   ("prop", BalancingRiderParams.create(prop_lut=4096,
+                                                        verbose=False))):
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["prop"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
+
+
+def test_prop_lut_rejects_stochastic_mode():
+    """Acl depends on per-agent pole features in stochastic mode -- a
+    speed-only propagator table would be wrong, so create() refuses."""
+    with pytest.raises(ValueError, match="prop_lut"):
+        BalancingRiderParams.create(prop_lut=256, verbose=False,
+                                    stochastic_control_behavior=True)
+
+
+def test_prop_lut_shared_across_population():
+    """`as_population` must not broadcast the table to [n, G, 40]."""
+    p = BalancingRiderParams.create(prop_lut=256, verbose=False)
+    pp = as_population(p, 16)
+    assert pp.br_prop_lut[0].shape == (256, 40)
