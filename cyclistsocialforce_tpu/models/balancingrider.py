@@ -143,6 +143,12 @@ def init_gains(params, state: AgentState) -> AgentState:
     n = state.n
     dtype = state.s.dtype
     v0 = state.s[:, V]
+    if params.br_gains_fixed is not None:
+        # explicit-gains mode (reference parameters.py `gains=` ctor arg):
+        # no pole model exists -- br_pole_lin is None
+        K = jnp.broadcast_to(
+            jnp.asarray(params.br_gains_fixed, dtype=dtype), (n, 5))
+        return state.replace(dyn_gains=state.dyn_gains.at[:, _KX].set(K))
     A0, A1, A2, B, _ = _sysmats(params, n, dtype)
     feats, state = _pole_features(params, state, v0, n)
     K = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(

@@ -23,6 +23,10 @@ def main():
                              "balancingrider"))
     ap.add_argument("--full", action="store_true",
                     help="keep the pair stage (the full bench row)")
+    ap.add_argument("--gains", default="lut",
+                    choices=("lut", "fixed", "exact"),
+                    help="balancingrider gain source (ablate the LUT "
+                         "gather: 'fixed' = constant K, no gather)")
     ap.add_argument("--steps", type=int, default=240)
     args = ap.parse_args()
 
@@ -57,8 +61,10 @@ def main():
         params = InvPendulumBicycleParams.create(zoh_lut=4096)
         model, sr = MODELS["invpendulum"], False
     elif args.row == "balancingrider":
-        params = BalancingRiderParams.create(gains_lut=4096,
-                                             verbose=False)
+        gkw = {"lut": dict(gains_lut=4096),
+               "fixed": dict(gains=[-13.14, 1.10, -6.69, -0.11, -11.38]),
+               "exact": {}}[args.gains]
+        params = BalancingRiderParams.create(verbose=False, **gkw)
         model, sr = MODELS["balancingrider"], True
     else:
         params = BalancingRiderParams.create(

@@ -116,3 +116,19 @@ def test_torque_disturbances():
         ENCROACH_S0, ENCROACH_DESTS, 200, v_desired=[4.5, 5.0, 5.0])[0]
     assert np.all(np.isfinite(pert))
     assert np.max(np.abs(pert - base)) > 1e-4
+
+
+def test_explicit_gains_mode():
+    """`create(gains=...)` (reference parameters.py explicit-gains ctor
+    path) must run end-to-end: no pole model exists in this mode, so
+    init_gains/step take the fixed-K branch and never touch
+    br_pole_lin."""
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+
+    p = BalancingRiderParams.create(
+        gains=[-13.14, 1.10, -6.69, -0.11, -11.38], verbose=False)
+    assert p.br_pole_lin is None
+    traj = run_scenario("balancingrider", p, ENCROACH_S0, ENCROACH_DESTS,
+                        200, v_desired=[4.5, 5.0, 5.0])[0]
+    assert np.all(np.isfinite(traj))
+    assert np.max(np.abs(traj[:, :, 5])) < np.pi / 3
