@@ -189,12 +189,16 @@ def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
         sub=0, screen=False, block_src=BLOCK_SRC,
         backend="pallas" if on_tpu else "xla")
     model = MODELS["balancingrider"]
-    # gains_lut: K(v) tabulated at 4096 points (dv = 2.7e-3 m/s; max
-    # relative gain error 4e-7 in the stable speed band) instead of the
-    # per-step exact Ackermann placement -- the default/model-parity path
-    # stays exact; see BASELINE.md for both measured numbers
+    # gains_poly: GATHER-FREE piecewise-quintic K(v) (16 segments on
+    # the [2, 10] m/s smooth band, coefficients baked into the program
+    # as literals; max relative gain error ~1e-4 in band, trajectories
+    # within 1e-3 m of exact over the test horizon) instead of the
+    # per-step exact Ackermann placement -- the default/model-parity
+    # path stays exact; gains_lut (4096-pt table, 4e-7) measures 6.21
+    # ms/step vs 4.73 here, the delta being two per-row LUT gathers
+    # (BASELINE.md "Gather-free piecewise-polynomial gains")
     engine = Engine.create(
-        BalancingRiderParams.create(gains_lut=4096, verbose=False),
+        BalancingRiderParams.create(gains_poly=16, verbose=False),
         model, neighbors=cfg)
     state = model.prepare(engine.params, state)
 
@@ -216,8 +220,8 @@ def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
     print(json.dumps({
         "metric": f"agent-steps/sec, N={n_agents}, flagship "
                   f"balancingrider (Whipple-Carvallo + batched 5x5 "
-                  f"midpoint solve; 4096-pt tabulated Ackermann gain "
-                  f"schedule), culled pairwise field",
+                  f"midpoint solve; gather-free piecewise-quintic "
+                  f"Ackermann gain schedule), culled pairwise field",
         "value": round(agent_steps_per_sec, 1),
         "unit": "agent-steps/sec",
         "vs_baseline": round(agent_steps_per_sec / (100.0 * n_agents), 3),

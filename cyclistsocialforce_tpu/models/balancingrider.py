@@ -261,6 +261,39 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     if params.br_gains_fixed is not None:
         K = jnp.broadcast_to(jnp.asarray(params.br_gains_fixed, dtype=dtype),
                              (n, 5))
+    elif getattr(params, "br_gains_poly", None) is not None:
+        # GATHER-FREE piecewise-quintic gain schedule (deterministic
+        # mode; params.create gains_poly=S): the coefficients live in
+        # a STATIC params field, so they reach the compiled step as
+        # literal constants -- the evaluation is S masked FMAs + a
+        # Horner chain of pure [N]-wide VPU work, no HBM table (the two
+        # gains_lut row gathers cost ~0.9 ms/step at N = 1e5; BASELINE
+        # "Gather-free piecewise-polynomial gains"). Speeds below the
+        # fit band (v < 2 m/s, where K(v) has poles) clamp to the band
+        # edge: the exact gains there are the blown-up values of an
+        # uncontrollable plant, so the clamp is the *more* physical
+        # choice -- but it IS a semantic deviation from the exact/lut
+        # paths, pinned by tests/test_gains_lut.py.
+        changed = v_new != v_old
+        C, p_lo, p_dv = params.br_gains_poly
+        S = len(C)
+        x = (v_mid - p_lo) / p_dv
+        x = jnp.clip(x, 0.0, float(S) - 1e-6)
+        idx = jnp.floor(x)
+        u = x - idx
+        masks = [idx == s for s in range(1, S)]
+        # per-gain Horner with segment-selected constant coefficients
+        K_cols = []
+        for k in range(5):
+            acc = None
+            for d in (5, 4, 3, 2, 1, 0):
+                cd = jnp.full_like(u, C[0][6 * k + d])
+                for s, msk in enumerate(masks, start=1):
+                    cd = jnp.where(msk, C[s][6 * k + d], cd)
+                acc = cd if acc is None else acc * u + cd
+            K_cols.append(acc)
+        K_new = jnp.stack(K_cols, axis=1)
+        K = jnp.where(changed[:, None], K_new, state.dyn_gains[:, _KX])
     elif getattr(params, "br_gains_lut", None) is not None:
         # precomputed K(v) table (deterministic mode; params.create
         # gains_lut=G): linear interpolation on the uniform speed grid
@@ -299,9 +332,19 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
             i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0,
                           tab.shape[0] - 2)
             w = (t - i0.astype(dtype))[:, None]
-            Mv = (tab[i0] * (1.0 - w) + tab[i0 + 1] * w).reshape(n, 6, 5)
-            coeffs = jax.vmap(charpoly_from_pole_features)(feats)
-            K_new = jnp.sum(coeffs[:, :, None] * Mv, axis=1)
+            # barrier + transposed SoA consumption: without the barrier
+            # XLA fuses the row gathers into every contraction element
+            # (re-materializing them ~30x), and column extracts from
+            # the [N, 30] row sweep the whole 128-lane-padded buffer --
+            # same two traps measured on the prop_lut branch above
+            r0, r1 = jax.lax.optimization_barrier((tab[i0], tab[i0 + 1]))
+            rt = jax.lax.optimization_barrier(
+                (r0 + (r1 - r0) * w).T)                    # [30, N]
+            ct = jax.vmap(charpoly_from_pole_features)(feats).T  # [6, N]
+            # K[:, k] = sum_c coeffs[c] * M[c, k]; row layout j = 5*c+k
+            K_new = jnp.stack(
+                [sum(ct[c] * rt[5 * c + k] for c in range(6))
+                 for k in range(5)], axis=1)
         else:
             K_new = jax.vmap(_gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
                 params, A0, A1, A2, B, feats, v_mid)

@@ -484,6 +484,23 @@ class BalancingRiderParams(BicycleParams):
     # pole FEATURES stay exact and only the speed axis is tabulated:
     # (table [G, 6, 5], v_lo, dv).
     br_ackermann_lut: Any = None
+    # Optional piecewise-polynomial gain schedule (deterministic mode
+    # only): STATIC (pytree_node=False) nested tuple
+    # (coeffs[S][30], v_lo, seg_dv) with per-segment quintic
+    # coefficients for the 5 gains (j = 6 * k + d: degree-d coefficient
+    # of gain k, increasing powers of the local coordinate u in [0, 1]).
+    # Because the field is static, the coefficients reach the compiled
+    # step as LITERAL CONSTANTS -- the per-step gain evaluation is a
+    # masked FMA + Horner chain with NO table in HBM and NO gathers
+    # (the two gains_lut row gathers cost ~0.9 ms/step at N = 1e5,
+    # BASELINE.md "Gather-free piecewise-polynomial gains"). The fit
+    # band starts at GAINS_POLY_V_LO (2.0 m/s): K(v) has poles at
+    # v = 0 and v ~ 1.25 (controllability losses), so speeds below the
+    # band are clamped to the band edge -- document/test accordingly.
+    br_gains_poly: Any = struct.field(pytree_node=False, default=None)
+    # lower edge of the gains_poly fit band (class constant, not a
+    # field): below it K(v) is non-smooth (poles at v = 0 and ~1.25)
+    GAINS_POLY_V_LO = 2.0
     # Optional precomputed midpoint-PROPAGATOR lookup table (deterministic
     # mode only): (table [G, 40], v_lo, dv). In deterministic mode the
     # whole closed-loop implicit-midpoint update is a pure smooth function
@@ -529,7 +546,7 @@ class BalancingRiderParams(BicycleParams):
                controlparam_polemodel_component=0,
                p_dist_roll=0.0, p_dist_steer=0.0,
                T_dist_roll=9000.0, T_dist_steer=1000.0,
-               gains_lut=0, prop_lut=0, resample_budget=0,
+               gains_lut=0, prop_lut=0, gains_poly=0, resample_budget=0,
                calib_mode=False, verbose=True, **kw):
         from cyclistsocialforce_tpu import behavior
         from cyclistsocialforce_tpu.ops import whipple
@@ -698,11 +715,67 @@ class BalancingRiderParams(BicycleParams):
             plut = (_repair_lut_rows(rows), np.float64(v_lo),
                     np.float64((v_hi - v_lo) / (gp - 1)))
 
+        # optional GATHER-FREE piecewise-polynomial gain schedule (see
+        # the br_gains_poly field comment): deterministic mode only
+        poly = None
+        if gains_poly and gains_fixed is None:
+            if stochastic_control_behavior:
+                raise ValueError(
+                    "gains_poly tabulates K over speed alone; with "
+                    "stochastic control behavior K depends on per-agent "
+                    "pole features (use gains_lut for the Ackermann-"
+                    "basis table instead)")
+            import jax
+            import jax.numpy as jnp
+
+            from cyclistsocialforce_tpu.ops.control import (
+                ackermann, charpoly_from_pole_features)
+
+            S = int(gains_poly)
+            vmr = kw.get("v_max_riding", cls.v_max_riding)
+            v_hi = float(pair_hi(vmr))
+            v_lo = float(cls.GAINS_POLY_V_LO)
+            if v_hi <= v_lo:
+                raise ValueError(
+                    f"gains_poly needs v_max_riding > {v_lo} m/s (the "
+                    f"K(v) pole at v ~ 1.25 bounds the fit band)")
+
+            def k_at_s(v):
+                feats = (jnp.asarray(pole_lin)[:, 0]
+                         + jnp.asarray(pole_lin)[:, 1] * v)
+                Av = (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
+                      + v * v * jnp.asarray(A2))
+                return ackermann(Av, jnp.asarray(B),
+                                 charpoly_from_pole_features(feats))
+
+            # dense sweep on the smooth band, then per-segment quintic
+            # least squares in the local coordinate u in [0, 1]
+            per_seg = 129
+            seg_dv = (v_hi - v_lo) / S
+            u_grid = np.linspace(0.0, 1.0, per_seg)
+            A_fit = np.vander(u_grid, 6, increasing=True)
+            vs_all = (v_lo + seg_dv
+                      * (np.arange(S)[:, None] + u_grid[None, :]))
+            with jax.default_device(jax.devices("cpu")[0]):
+                K_all = np.array(jax.vmap(k_at_s)(
+                    jnp.asarray(vs_all.reshape(-1)))).reshape(S, per_seg, 5)
+            if not np.isfinite(K_all).all():
+                raise ValueError("gains_poly sweep hit a non-finite "
+                                 "K(v) inside the fit band")
+            coeffs = []
+            for s in range(S):
+                c, *_ = np.linalg.lstsq(A_fit, K_all[s], rcond=None)
+                # c is [6, 5]; layout j = 6 * k + d
+                coeffs.append(tuple(float(c[d, k])
+                                    for k in range(5) for d in range(6)))
+            poly = (tuple(coeffs), float(v_lo), float(seg_dv))
+
         return super().create(
             calib_mode=calib_mode, verbose=verbose,
             br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
             br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
             br_gains_lut=lut, br_ackermann_lut=ack_lut, br_prop_lut=plut,
+            br_gains_poly=poly,
             stochastic_control_behavior=bool(stochastic_control_behavior),
             controlparam_resampling_speedthresh=(
                 controlparam_resampling_speedthresh),

@@ -313,3 +313,100 @@ def test_prop_lut_shared_across_population():
     p = BalancingRiderParams.create(prop_lut=256, verbose=False)
     pp = as_population(p, 16)
     assert pp.br_prop_lut[0].shape == (256, 40)
+
+
+def test_gains_poly_matches_exact_gains_in_band():
+    """Piecewise-quintic gains (S = 16 segments on [2, 10]) match the
+    exact Ackermann gains to ~1e-4 relative across the fit band,
+    evaluated exactly the way the step's masked-FMA + Horner chain
+    does."""
+    p = BalancingRiderParams.create(verbose=False)
+    pq = BalancingRiderParams.create(gains_poly=16, verbose=False)
+    C, v_lo, seg_dv = pq.br_gains_poly
+    S = len(C)
+    assert S == 16 and len(C[0]) == 30
+
+    vs = np.linspace(v_lo + 1e-9, v_lo + S * seg_dv - 1e-9, 307)
+    A0, A1, A2, B, _ = BR._sysmats(p, len(vs), jnp.float64)
+    lin = jnp.asarray(p.br_pole_lin)
+    feats = lin[None, :, 0] + lin[None, :, 1] * jnp.asarray(vs)[:, None]
+    K = np.asarray(jax.vmap(BR._gains_at, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        p, A0, A1, A2, B, feats, jnp.asarray(vs)))
+
+    x = np.clip((vs - v_lo) / seg_dv, 0.0, S - 1e-6)
+    idx = np.floor(x).astype(int)
+    u = x - idx
+    K_poly = np.empty_like(K)
+    for k in range(5):
+        acc = np.zeros_like(u)
+        for d in (5, 4, 3, 2, 1, 0):
+            cd = np.array([C[s][6 * k + d] for s in idx])
+            acc = acc * u + cd
+        K_poly[:, k] = acc
+    rel = np.abs(K_poly - K) / np.maximum(np.abs(K), 1e-2)
+    assert rel.max() < 2e-4, rel.max()
+
+
+def test_gains_poly_trajectories_match_exact():
+    """End-to-end at riding speeds (4-6 m/s, inside the fit band): the
+    poly path stays on the exact path's trajectory."""
+    rng = np.random.default_rng(13)
+    n = 64
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["balancingrider"]
+    finals = {}
+    for tag, p in (("exact", BalancingRiderParams.create(verbose=False)),
+                   ("poly", BalancingRiderParams.create(gains_poly=16,
+                                                        verbose=False))):
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["poly"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
+
+
+def test_gains_poly_below_band_clamps_and_stays_finite():
+    """Speeds below the fit band (v < 2) use the band-edge gains (a
+    documented semantic deviation: the exact gains there belong to an
+    uncontrollable plant). The step must stay finite."""
+    p = BalancingRiderParams.create(gains_poly=16, verbose=False)
+    n = 8
+    s0 = np.zeros((n, 5))
+    s0[:, 3] = np.linspace(0.2, 1.8, n)
+    st = make_state(s0, dtype=np.float64)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = 50.0
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["balancingrider"]
+    pp = as_population(p, n)
+    eng = Engine.create(pp, m)
+    f, _ = jax.jit(lambda s: eng.simulate(s, 50, record=False))(
+        m.prepare(pp, st))
+    assert np.all(np.isfinite(np.asarray(f.s)))
+
+
+def test_gains_poly_rejects_stochastic_mode():
+    with pytest.raises(ValueError, match="gains_poly"):
+        BalancingRiderParams.create(gains_poly=16, verbose=False,
+                                    stochastic_control_behavior=True)
+
+
+def test_gains_poly_static_across_population():
+    """The coefficients are a STATIC field: as_population must leave
+    them untouched (they reach the compiled step as literals)."""
+    p = BalancingRiderParams.create(gains_poly=16, verbose=False)
+    pp = as_population(p, 16)
+    assert pp.br_gains_poly is p.br_gains_poly
