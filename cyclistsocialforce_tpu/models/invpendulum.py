@@ -140,20 +140,20 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         t = jnp.clip(t, 0.0, tab.shape[0] - 1.0)
         i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, tab.shape[0] - 2)
         w = (t - i0.astype(s.dtype))[:, None]
-        # barrier + transposed SoA consumption: without the barrier XLA
-        # fuses the row gathers into all 30 matvec consumers
-        # (re-materializing the per-row gather each time), and column
-        # extracts from the [N, 30] row sweep the 128-lane-padded
-        # buffer -- both measured on the balancingrider prop_lut branch
-        # (BASELINE.md "Negative result: tabulated midpoint propagator")
-        r0, r1 = jax.lax.optimization_barrier((tab[i0], tab[i0 + 1]))
-        et = jax.lax.optimization_barrier(
-            (r0 + (r1 - r0) * w).T)                        # [30, N]
-        xs = [state.dyn_x[:, j] for j in range(5)]
-        dyn_riding = jnp.stack(
-            [sum(et[5 * i + j] * xs[j] for j in range(5))
-             + et[25 + i] * psi_d
-             for i in range(5)], axis=1)
+        # NOTE: the balancingrider prop_lut branch needed an
+        # optimization_barrier + transposed-SoA rewrite of this same
+        # shape (gather fused into every matvec consumer); applying it
+        # HERE measures 1.56 ms/step SLOWER (8.68 vs 7.12 full row at
+        # N = 1e5) -- in this composition XLA's fusion is already good
+        # and the barriers just force [N, 30] materializations. Keep
+        # the straightforward form (BASELINE.md "Gather-free
+        # piecewise-polynomial gains", A/B note).
+        E = tab[i0] * (1.0 - w) + tab[i0 + 1] * w          # [N, 30]
+        Phi = E[:, :25].reshape(n, 5, 5)
+        Gam = E[:, 25:]
+        x5 = state.dyn_x[:, :5]
+        dyn_riding = (jnp.sum(Phi * x5[:, None, :], axis=2)
+                      + Gam * psi_d[:, None])
     else:
         K_x, K_u = params.fullstate_feedback_gains(v_new)
 
