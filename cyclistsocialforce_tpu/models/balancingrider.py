@@ -314,7 +314,28 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     else:
         changed = v_new != v_old
         feats, state = _pole_features(params, state, v_mid, n, gate=changed)
-        if getattr(params, "br_ackermann_lut", None) is not None:
+        if getattr(params, "br_ackermann_poly", None) is not None:
+            # GATHER-FREE piecewise-quintic Ackermann BASIS (stochastic
+            # mode; params.create gains_poly=S): the same M(v) [6, 5]
+            # entries as br_ackermann_lut, but fitted per speed segment
+            # with the coefficients baked into the program as literals
+            # (static params field) -- no HBM table, no per-row gathers
+            # (the two br_ackermann_lut row gathers cost ~0.6 ms/step
+            # each at N = 1e5). Per-agent pole features stay exact:
+            # K = charpoly(feats) @ M(v_mid). Below-band speeds
+            # (v < GAINS_POLY_V_LO) clamp to the band edge like the
+            # deterministic gains_poly (pinned by tests/test_gains_lut).
+            from cyclistsocialforce_tpu.ops.piecewise import \
+                eval_piecewise_poly
+
+            mc = eval_piecewise_poly(
+                params.br_ackermann_poly, v_mid, 30)       # 30 x [N]
+            ct = jax.vmap(charpoly_from_pole_features)(feats).T  # [6, N]
+            # K[:, k] = sum_c coeffs[c] * M[c, k]; layout m = 5*c+k
+            K_new = jnp.stack(
+                [sum(ct[c] * mc[5 * c + k] for c in range(6))
+                 for k in range(5)], axis=1)
+        elif getattr(params, "br_ackermann_lut", None) is not None:
             # tabulated Ackermann BASIS (params.create gains_lut=G with
             # stochastic behavior): K is linear in the characteristic
             # coefficients, so interpolate M(v_mid) [6, 5] on the speed

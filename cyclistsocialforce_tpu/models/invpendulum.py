@@ -129,7 +129,27 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
 
     # step_yaw (vehicle.py:1810-1848) at the new speed
     psi_d = jnp.arctan2(fy, fx)
-    if getattr(params, "ip_zoh_lut", None) is not None:
+    if getattr(params, "ip_zoh_poly", None) is not None:
+        # GATHER-FREE piecewise-quintic ZOH propagator (params.create
+        # zoh_poly=S): the same 30 Phi/Gamma entries as ip_zoh_lut, but
+        # fitted per speed segment with the coefficients baked into the
+        # compiled program as literals (static params field) -- no HBM
+        # table, no per-agent row gathers (the two ip_zoh_lut gathers
+        # cost ~0.7 ms/row each at N = 1e5; BASELINE.md "Gather-free
+        # piecewise-polynomial gains"). Below-band speeds (v <
+        # IP_ZOH_POLY_V_LO) clamp to the band edge; only the masked-out
+        # walking branch ever sees them (riding-branch speeds stay
+        # >= v_max_walk - |a_lo| t_s ~ 1.47 m/s).
+        from cyclistsocialforce_tpu.ops.piecewise import \
+            eval_piecewise_poly
+
+        cols = eval_piecewise_poly(params.ip_zoh_poly, v_new, 30)
+        x5 = state.dyn_x[:, :5]
+        # layout m = 5*i+j is Phi[i, j]; 25+i is Gamma[i] (_build_zoh_lut)
+        dyn_riding = jnp.stack(
+            [sum(cols[5 * i + j] * x5[:, j] for j in range(5))
+             + cols[25 + i] * psi_d for i in range(5)], axis=1)
+    elif getattr(params, "ip_zoh_lut", None) is not None:
         # precomputed ZOH propagator table (params.create zoh_lut=G):
         # Phi(v), Gamma(v) interpolated on the uniform speed grid instead
         # of a per-agent 6x6 expm per step (the expm is ~4000 vmapped VPU

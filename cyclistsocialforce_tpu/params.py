@@ -299,11 +299,23 @@ class InvPendulumBicycleParams(BicycleParams):
     # inverted-pendulum hot loop (models/invpendulum.py; mirrors
     # BalancingRiderParams.br_gains_lut). Exact path stays the default.
     ip_zoh_lut: Any = None
+    # Optional GATHER-FREE piecewise-polynomial ZOH propagator
+    # (create zoh_poly=S): the same 30 Phi/Gamma entries as ip_zoh_lut,
+    # fitted per speed segment and baked into the compiled step as
+    # literal constants (static field) -- zero HBM table, zero row
+    # gathers (the two ip_zoh_lut gathers cost ~0.7 ms/row each at
+    # N = 1e5; see ops/piecewise.py and BASELINE.md). The fit band
+    # starts at IP_ZOH_POLY_V_LO (clear of the v -> 0 gain-schedule
+    # divergence); below-band speeds clamp to the band edge, which only
+    # the masked-out walking branch ever sees (riding-branch speeds are
+    # >= v_max_walk - |a_lo| t_s ~ 1.47 m/s). Exact path stays default.
+    ip_zoh_poly: Any = struct.field(pytree_node=False, default=None)
     POPULATION_SHARED = ("ip_zoh_lut",)
+    IP_ZOH_POLY_V_LO = 1.0
 
     @classmethod
     def create(cls, calib_mode: bool = False, verbose: bool = True,
-               zoh_lut: int = 0, **kw):
+               zoh_lut: int = 0, zoh_poly: int = 0, **kw):
         h = _chk_nonneg("h", kw.pop("h", cls.h))
         m = _chk_nonneg("m", kw.pop("m", cls.m))
         ibl = _chk_nonneg("i_bike_longlong",
@@ -336,6 +348,8 @@ class InvPendulumBicycleParams(BicycleParams):
             tau_1_squared=tau_1_squared, **kw)
         if zoh_lut:
             p = p.replace(ip_zoh_lut=cls._build_zoh_lut(p, int(zoh_lut)))
+        if zoh_poly:
+            p = p.replace(ip_zoh_poly=cls._build_zoh_poly(p, int(zoh_poly)))
         return p
 
     @staticmethod
@@ -357,15 +371,36 @@ class InvPendulumBicycleParams(BicycleParams):
         below ~v_max_walk), so such rows are repaired by nearest-finite
         interpolation exactly like the BalancingRider gains LUT.
         """
+        v_lo = float(pair_lo(p.v_max_riding))
+        v_hi = float(pair_hi(p.v_max_riding))
+        vs = np.linspace(v_lo, v_hi, g)
+        tab = InvPendulumBicycleParams._zoh_sweep(p)(vs)
+        bad = ~np.isfinite(tab).all(axis=1)
+        if bad.any():
+            good = np.where(~bad)[0]
+            for j in np.where(bad)[0]:
+                lo = good[good < j]
+                hi = good[good > j]
+                if len(lo) and len(hi):
+                    a, b = lo[-1], hi[0]
+                    t = (j - a) / (b - a)
+                    tab[j] = (1 - t) * tab[a] + t * tab[b]
+                else:
+                    tab[j] = tab[lo[-1] if len(lo) else hi[0]]
+        return (tab, np.float64(v_lo),
+                np.float64((v_hi - v_lo) / (g - 1)))
+
+    @staticmethod
+    def _zoh_sweep(p):
+        """Return ``vs [K] -> rows [K, 30]`` sampling the closed-loop ZOH
+        propagator (25 Phi + 5 Gamma entries; see _build_zoh_lut) on the
+        host CPU backend."""
         import jax
         import jax.numpy as jnp
 
         from cyclistsocialforce_tpu.models import invpendulum as IP
         from cyclistsocialforce_tpu.ops.smallmat import expm_small
 
-        v_lo = float(pair_lo(p.v_max_riding))
-        v_hi = float(pair_hi(p.v_max_riding))
-        vs = np.linspace(v_lo, v_hi, g)
         t_s = float(np.asarray(p.t_s))
         pb = {f: jnp.asarray(float(np.asarray(getattr(p, f))))
               for f in ("l", "l_2", "g", "tau_1_squared", "c_steer",
@@ -382,22 +417,30 @@ class InvPendulumBicycleParams(BicycleParams):
             return jnp.concatenate(
                 [E[:5, :5].reshape(25), E[:5, 5]])
 
-        with jax.default_device(jax.devices("cpu")[0]):
-            tab = np.array(jax.vmap(e_at)(jnp.asarray(vs)))
-        bad = ~np.isfinite(tab).all(axis=1)
-        if bad.any():
-            good = np.where(~bad)[0]
-            for j in np.where(bad)[0]:
-                lo = good[good < j]
-                hi = good[good > j]
-                if len(lo) and len(hi):
-                    a, b = lo[-1], hi[0]
-                    t = (j - a) / (b - a)
-                    tab[j] = (1 - t) * tab[a] + t * tab[b]
-                else:
-                    tab[j] = tab[lo[-1] if len(lo) else hi[0]]
-        return (tab, np.float64(v_lo),
-                np.float64((v_hi - v_lo) / (g - 1)))
+        def sweep(vs):
+            with jax.default_device(jax.devices("cpu")[0]):
+                return np.array(jax.vmap(e_at)(jnp.asarray(vs)))
+
+        return sweep
+
+    @staticmethod
+    def _build_zoh_poly(p, n_seg: int):
+        """Piecewise-quintic fit of the ZOH propagator entries over the
+        riding speed band [IP_ZOH_POLY_V_LO, v_hi] (ops/piecewise.py; the
+        gather-free counterpart of _build_zoh_lut -- the fit band excludes
+        the v -> 0 gain divergence instead of repairing rows, and
+        below-band speeds clamp to the edge, which only the masked
+        walking branch ever consumes)."""
+        from cyclistsocialforce_tpu.ops.piecewise import fit_piecewise_poly
+
+        v_lo = float(InvPendulumBicycleParams.IP_ZOH_POLY_V_LO)
+        v_hi = float(pair_hi(p.v_max_riding))
+        if v_hi <= v_lo:
+            raise ValueError(
+                f"zoh_poly needs v_max_riding > {v_lo} m/s (the fit band "
+                f"must clear the v -> 0 gain-schedule divergence)")
+        return fit_piecewise_poly(
+            InvPendulumBicycleParams._zoh_sweep(p), v_lo, v_hi, int(n_seg))
 
     # ---- speed-scheduled model/controller parameters ----
 
@@ -498,6 +541,15 @@ class BalancingRiderParams(BicycleParams):
     # v = 0 and v ~ 1.25 (controllability losses), so speeds below the
     # band are clamped to the band edge -- document/test accordingly.
     br_gains_poly: Any = struct.field(pytree_node=False, default=None)
+    # Stochastic-mode piecewise-polynomial counterpart (create
+    # gains_poly=S with stochastic_control_behavior): the Ackermann
+    # coefficient BASIS M(v) [6, 5] fitted per speed segment instead of
+    # tabulated (br_ackermann_lut) -- per-agent pole features stay
+    # exact (K = charpoly(feats) @ M(v)) and the two per-step [G, 30]
+    # row gathers disappear (TPU gathers cost per ROW; BASELINE.md).
+    # STATIC nested tuple (coeffs[S][180], v_lo, seg_dv), layout
+    # j = 6 * m + d with m = 5 * c + k the row-major [6, 5] entry index.
+    br_ackermann_poly: Any = struct.field(pytree_node=False, default=None)
     # lower edge of the gains_poly fit band (class constant, not a
     # field): below it K(v) is non-smooth (poles at v = 0 and ~1.25)
     GAINS_POLY_V_LO = 2.0
@@ -715,21 +767,21 @@ class BalancingRiderParams(BicycleParams):
             plut = (_repair_lut_rows(rows), np.float64(v_lo),
                     np.float64((v_hi - v_lo) / (gp - 1)))
 
-        # optional GATHER-FREE piecewise-polynomial gain schedule (see
-        # the br_gains_poly field comment): deterministic mode only
+        # optional GATHER-FREE piecewise-polynomial gain schedules (see
+        # the br_gains_poly / br_ackermann_poly field comments):
+        # deterministic mode fits K(v) directly; stochastic mode fits the
+        # Ackermann coefficient BASIS M(v) so per-agent pole features
+        # stay exact. Dense sweep on the smooth band [GAINS_POLY_V_LO,
+        # v_hi], then per-segment quintic least squares in the local
+        # coordinate u in [0, 1] (ops/piecewise.py).
         poly = None
+        ack_poly = None
         if gains_poly and gains_fixed is None:
-            if stochastic_control_behavior:
-                raise ValueError(
-                    "gains_poly tabulates K over speed alone; with "
-                    "stochastic control behavior K depends on per-agent "
-                    "pole features (use gains_lut for the Ackermann-"
-                    "basis table instead)")
             import jax
             import jax.numpy as jnp
 
-            from cyclistsocialforce_tpu.ops.control import (
-                ackermann, charpoly_from_pole_features)
+            from cyclistsocialforce_tpu.ops.piecewise import \
+                fit_piecewise_poly
 
             S = int(gains_poly)
             vmr = kw.get("v_max_riding", cls.v_max_riding)
@@ -740,42 +792,44 @@ class BalancingRiderParams(BicycleParams):
                     f"gains_poly needs v_max_riding > {v_lo} m/s (the "
                     f"K(v) pole at v ~ 1.25 bounds the fit band)")
 
-            def k_at_s(v):
-                feats = (jnp.asarray(pole_lin)[:, 0]
-                         + jnp.asarray(pole_lin)[:, 1] * v)
-                Av = (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
-                      + v * v * jnp.asarray(A2))
-                return ackermann(Av, jnp.asarray(B),
-                                 charpoly_from_pole_features(feats))
+            def _A_at_p(v):
+                return (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
+                        + v * v * jnp.asarray(A2))
 
-            # dense sweep on the smooth band, then per-segment quintic
-            # least squares in the local coordinate u in [0, 1]
-            per_seg = 129
-            seg_dv = (v_hi - v_lo) / S
-            u_grid = np.linspace(0.0, 1.0, per_seg)
-            A_fit = np.vander(u_grid, 6, increasing=True)
-            vs_all = (v_lo + seg_dv
-                      * (np.arange(S)[:, None] + u_grid[None, :]))
-            with jax.default_device(jax.devices("cpu")[0]):
-                K_all = np.array(jax.vmap(k_at_s)(
-                    jnp.asarray(vs_all.reshape(-1)))).reshape(S, per_seg, 5)
-            if not np.isfinite(K_all).all():
-                raise ValueError("gains_poly sweep hit a non-finite "
-                                 "K(v) inside the fit band")
-            coeffs = []
-            for s in range(S):
-                c, *_ = np.linalg.lstsq(A_fit, K_all[s], rcond=None)
-                # c is [6, 5]; layout j = 6 * k + d
-                coeffs.append(tuple(float(c[d, k])
-                                    for k in range(5) for d in range(6)))
-            poly = (tuple(coeffs), float(v_lo), float(seg_dv))
+            if stochastic_control_behavior:
+                from cyclistsocialforce_tpu.ops.control import \
+                    ackermann_basis
+
+                def m_sweep(vs):
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        return np.array(jax.vmap(
+                            lambda v: ackermann_basis(
+                                _A_at_p(v), jnp.asarray(B)).reshape(30)
+                        )(jnp.asarray(vs)))
+
+                ack_poly = fit_piecewise_poly(m_sweep, v_lo, v_hi, S)
+            else:
+                from cyclistsocialforce_tpu.ops.control import (
+                    ackermann, charpoly_from_pole_features)
+
+                def k_sweep(vs):
+                    def k_at_s(v):
+                        feats = (jnp.asarray(pole_lin)[:, 0]
+                                 + jnp.asarray(pole_lin)[:, 1] * v)
+                        return ackermann(_A_at_p(v), jnp.asarray(B),
+                                         charpoly_from_pole_features(feats))
+
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        return np.array(jax.vmap(k_at_s)(jnp.asarray(vs)))
+
+                poly = fit_piecewise_poly(k_sweep, v_lo, v_hi, S)
 
         return super().create(
             calib_mode=calib_mode, verbose=verbose,
             br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
             br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
             br_gains_lut=lut, br_ackermann_lut=ack_lut, br_prop_lut=plut,
-            br_gains_poly=poly,
+            br_gains_poly=poly, br_ackermann_poly=ack_poly,
             stochastic_control_behavior=bool(stochastic_control_behavior),
             controlparam_resampling_speedthresh=(
                 controlparam_resampling_speedthresh),

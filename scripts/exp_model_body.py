@@ -27,6 +27,8 @@ def main():
                     choices=("lut", "fixed", "exact", "poly"),
                     help="balancingrider gain source (ablate the LUT "
                          "gather: 'fixed' = constant K, no gather)")
+    ap.add_argument("--zoh", default="lut", choices=("lut", "poly", "exact"),
+                    help="invpendulum ZOH propagator source")
     ap.add_argument("--steps", type=int, default=240)
     args = ap.parse_args()
 
@@ -58,7 +60,9 @@ def main():
     if args.row == "twod":
         params, model, sr = BicycleParams.create(), MODELS["twod"], True
     elif args.row == "invpendulum":
-        params = InvPendulumBicycleParams.create(zoh_lut=4096)
+        zkw = {"lut": dict(zoh_lut=4096), "poly": dict(zoh_poly=32),
+               "exact": {}}[args.zoh]
+        params = InvPendulumBicycleParams.create(**zkw)
         model, sr = MODELS["invpendulum"], False
     elif args.row == "balancingrider":
         gkw = {"lut": dict(gains_lut=4096),
@@ -68,9 +72,11 @@ def main():
         params = BalancingRiderParams.create(verbose=False, **gkw)
         model, sr = MODELS["balancingrider"], True
     else:
+        gkw = {"lut": dict(gains_lut=4096), "poly": dict(gains_poly=16),
+               "fixed": {}, "exact": {}}[args.gains]
         params = BalancingRiderParams.create(
             stochastic_control_behavior=True, resample_budget=2048,
-            gains_lut=4096, verbose=False)
+            verbose=False, **gkw)
         model, sr = MODELS["balancingrider"], True
     engine = Engine.create(params, model,
                            neighbors=cfg if args.full else None,

@@ -398,10 +398,127 @@ def test_gains_poly_below_band_clamps_and_stays_finite():
     assert np.all(np.isfinite(np.asarray(f.s)))
 
 
-def test_gains_poly_rejects_stochastic_mode():
-    with pytest.raises(ValueError, match="gains_poly"):
-        BalancingRiderParams.create(gains_poly=16, verbose=False,
-                                    stochastic_control_behavior=True)
+def test_stochastic_basis_poly_error_bound():
+    """Stochastic mode + gains_poly fits the Ackermann coefficient BASIS
+    M(v) [6, 5] piecewise-quintically (params.br_ackermann_poly) instead
+    of tabulating it; per-agent gains stay charpoly(feats) @ M(v). The
+    fit matches the exact basis to ~1e-4 relative across the band, and
+    deterministic br_gains_poly stays unset."""
+    from cyclistsocialforce_tpu.ops.control import ackermann_basis
+    from cyclistsocialforce_tpu.ops.piecewise import fit_error
+
+    ps = BalancingRiderParams.create(stochastic_control_behavior=True,
+                                     gains_poly=16, verbose=False)
+    assert ps.br_gains_poly is None
+    C, v_lo, seg_dv = ps.br_ackermann_poly
+    assert len(C) == 16 and len(C[0]) == 180
+
+    A0 = np.asarray(ps.br_A0)
+    A1 = np.asarray(ps.br_A1)
+    A2 = np.asarray(ps.br_A2)
+    B = jnp.asarray(ps.br_B)
+
+    def m_sweep(vs):
+        return np.array(jax.vmap(
+            lambda v: ackermann_basis(
+                jnp.asarray(A0 + v * A1 + v * v * A2), B).reshape(30)
+        )(jnp.asarray(vs)))
+
+    assert fit_error(ps.br_ackermann_poly, m_sweep) < 1e-4
+
+
+def test_stochastic_basis_poly_trajectories_match_exact():
+    """End-to-end: with the same RNG seed (identical pole-feature draws),
+    the basis-poly and exact stochastic gain paths ride the same
+    trajectories at in-band speeds."""
+    rng = np.random.default_rng(17)
+    n = 48
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    m = MODELS["balancingrider"]
+    finals = {}
+    for tag, p in (
+            ("exact", BalancingRiderParams.create(
+                stochastic_control_behavior=True, verbose=False)),
+            ("poly", BalancingRiderParams.create(
+                stochastic_control_behavior=True, gains_poly=16,
+                verbose=False))):
+        st = make_state(s0, dtype=np.float64, seed=7)
+        st = st.replace(dest=jnp.asarray(dst),
+                        destqueue=st.destqueue.at[:, 0, :].set(
+                            jnp.asarray(dst)))
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 150, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["poly"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
+
+
+def test_invpendulum_zoh_poly_error_bound():
+    """The piecewise-quintic ZOH propagator (zoh_poly=32) matches the
+    exact per-speed expm sweep to ~1e-5 relative over the speed band the
+    riding branch consumes (v >= v_max_walk - |a_lo| t_s ~ 1.47; below
+    the fit band speeds clamp to the edge and only the masked walking
+    branch sees them)."""
+    from cyclistsocialforce_tpu.ops.piecewise import fit_error
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    p = InvPendulumBicycleParams.create(zoh_poly=32)
+    C, v_lo, seg_dv = p.ip_zoh_poly
+    assert len(C) == 32 and len(C[0]) == 180
+    assert v_lo == InvPendulumBicycleParams.IP_ZOH_POLY_V_LO
+    sweep = InvPendulumBicycleParams._zoh_sweep(p)
+    assert fit_error(p.ip_zoh_poly, sweep, band=(1.45, 7.0)) < 1e-5
+
+
+def test_invpendulum_zoh_poly_trajectories_match_exact():
+    """End-to-end: the poly and exact expm paths produce the same riding
+    trajectories (sub-mm over 2 s), including through walking<->riding
+    transitions triggered by the mixed initial speeds."""
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    rng = np.random.default_rng(19)
+    n = 32
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64, hist_len=128)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["invpendulum"]
+    finals = {}
+    for tag, p in (("exact", InvPendulumBicycleParams.create()),
+                   ("poly", InvPendulumBicycleParams.create(zoh_poly=32))):
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["poly"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
+
+
+def test_zoh_poly_static_across_population():
+    """ip_zoh_poly is a STATIC field: as_population leaves it untouched
+    (the coefficients reach the compiled step as literals)."""
+    from cyclistsocialforce_tpu.params import InvPendulumBicycleParams
+
+    p = InvPendulumBicycleParams.create(zoh_poly=16)
+    pp = as_population(p, 16)
+    assert pp.ip_zoh_poly is p.ip_zoh_poly
 
 
 def test_gains_poly_static_across_population():
