@@ -1,0 +1,62 @@
+"""Bench-harness robustness tests (no simulation involved).
+
+Round 3's driver capture failed because a secondary bench row timed out
+twice, blew the wall clock, and the final headline re-print never ran --
+the driver recorded a secondary row as the round's number (VERDICT.md
+round-3 weakness #1). These tests pin the harness defenses using fake
+rows (`bench.py --fake ...`): the phase watchdog kills a hung row within
+its (scaled) ceiling, the headline is re-printed after EVERY row so any
+truncation leaves it as the last complete JSON line, a failed headline
+falls back to the best secondary row, and an exhausted budget still
+emits a parseable final line.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+BENCH = str(pathlib.Path(__file__).resolve().parents[1] / "bench.py")
+
+
+def run_harness(selftest, budget, timeout=120):
+    env = dict(os.environ, BENCH_CEILING_SCALE="0.01")
+    r = subprocess.run(
+        [sys.executable, BENCH, "--selftest", selftest,
+         "--budget", str(budget)],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    lines = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    return r, lines
+
+
+def test_hang_row_killed_and_headline_last():
+    r, lines = run_harness("ok", budget=600)
+    assert r.returncode == 0
+    # the hung row was killed by the phase watchdog, not a full timeout
+    assert "tunnel-hang signature" in r.stderr
+    # headline (value 100) is the FINAL line despite later rows
+    assert lines[-1]["value"] == 100.0
+    # ... and is re-printed after every row: any prefix of the output
+    # that ends on a complete line ends with a headline within 1 line
+    values = [ln["value"] for ln in lines]
+    for k in range(1, len(values)):
+        assert 100.0 in values[max(0, k - 2):k + 1]
+    # the successful secondary rows still made it out
+    assert 200.0 in values and 50.0 in values
+
+
+def test_headline_failure_falls_back_to_best_row():
+    r, lines = run_harness("nohead", budget=600)
+    assert r.returncode == 0
+    # headline row exits nonzero -> final line is the BEST secondary row
+    assert lines[-1]["value"] == 200.0
+    assert "headline attempt" in r.stderr
+
+
+def test_budget_exhaustion_still_emits_final_line():
+    r, lines = run_harness("ok", budget=50)
+    assert r.returncode == 0
+    assert len(lines) == 1
+    assert lines[-1]["value"] == 0.0
+    assert "skipped (wall-clock budget exhausted" in r.stderr
