@@ -806,19 +806,33 @@ class PoleModelRT(struct.PyTreeNode):
     def sample_features_batch(self, key, v):
         """Population draw: [N] speeds -> ([N, F-1] features, [N] ok).
 
+        `key` is either ONE key (shape [2]) or PER-AGENT keys ([N, 2],
+        from `state.agent_streams` -- draws then follow the agent
+        through row permutations and device sharding).
+
         Equivalent in distribution to vmapping `sample_features` over
-        per-agent keys, but ALL randomness comes from two bulk calls
-        (one uniform [N, R] for the component choice, one normal
+        split keys, but ALL randomness comes from bulk vectorized calls
+        (a uniform [N, R] for the component choice, a normal
         [N, R, F-1]) instead of ~9 threefry splits per agent per step --
-        the per-agent key ladder dominated the stochastic path at
-        N = 1e5 (~30 ms/step)."""
+        the per-agent key LADDER (split chains in a scan) dominated the
+        stochastic path at N = 1e5 (~30 ms/step); the per-agent-key form
+        here is 3 vmapped (vectorized) threefry passes."""
         rounds = self.REJECT_ROUNDS
         n = v.shape[0]
         fm1 = self.n_features - 1
-        ku, kz = jax.random.split(key)
         dtype = self.means.dtype
-        u = jax.random.uniform(ku, (n, rounds), dtype=dtype)
-        z = jax.random.normal(kz, (n, rounds, fm1), dtype=dtype)
+        if jnp.ndim(key) == 2:
+            def draws(k):
+                ku_i, kz_i = jax.random.split(k)
+                return (jax.random.uniform(ku_i, (rounds,), dtype=dtype),
+                        jax.random.normal(kz_i, (rounds, fm1),
+                                          dtype=dtype))
+
+            u, z = jax.vmap(draws)(key)
+        else:
+            ku, kz = jax.random.split(key)
+            u = jax.random.uniform(ku, (n, rounds), dtype=dtype)
+            z = jax.random.normal(kz, (n, rounds, fm1), dtype=dtype)
 
         def per_agent(vi, ui, zi):
             mu_c, chol_c, w = self.conditional(vi)

@@ -1396,7 +1396,7 @@ def _check_state_widths(widths, state):
 _PER_AGENT_FIELDS = (
     "s", "dyn_x", "dyn_v", "dyn_gains", "pid_e", "pid_i", "dest", "destqueue",
     "destpointer", "nq", "znav", "znavparams", "i_stopsignal",
-    "d_stopsignal", "zrid", "walk_ok_steps",
+    "d_stopsignal", "zrid", "walk_ok_steps", "uid",
 )
 
 

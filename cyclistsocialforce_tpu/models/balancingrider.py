@@ -51,7 +51,7 @@ from cyclistsocialforce_tpu.ops.control import (ackermann,
                                                 charpoly_from_pole_features)
 from cyclistsocialforce_tpu.params import pair_hi, pair_lo
 from cyclistsocialforce_tpu.state import (DDELTA, DELTA, DTHETA, PSI, THETA,
-                                          V, X, Y, AgentState)
+                                          V, X, Y, AgentState, agent_streams)
 from cyclistsocialforce_tpu.utils.angles import (angle_difference,
                                                  limit_angle, thresh)
 
@@ -64,6 +64,13 @@ STATE_WIDTHS = {"dyn_x": 7, "dyn_gains": 12, "zrid": 0}
 _KX = slice(0, 5)        # cached feedback gains K_x
 _PF = slice(5, 10)       # current pole features (stochastic mode)
 _VLAST = 10              # speed at last pole resampling
+
+# RNG stream salts (state.agent_streams): draws are pure functions of
+# (master key, t_glob, uid, salt) -- bit-identical under sorted-resident
+# row permutation and device sharding
+_SALT_DIST = 1           # torque-disturbance Bernoulli draws
+_SALT_POLES = 2          # per-step pole-feature resampling
+_SALT_INIT = 3           # initial pole-feature draw (prepare/init_gains)
 
 
 def _bcast(params, name, n):
@@ -99,7 +106,13 @@ def _pole_features(params, state, v, n, gate=None):
     need = jnp.abs(v - v_last) > thresh_v
     if gate is not None:
         need = need & gate
-    key, sub = jax.random.split(state.key)
+    # per-agent keys (state.agent_streams): the draw an agent sees is a
+    # pure function of (master key, t_glob, uid) -- bit-identical under
+    # sorted-resident permutation and device sharding. The initial draw
+    # (gate is None, from init_gains) uses its own salt so a step-0
+    # resample never repeats the init draw.
+    keys = agent_streams(state.key, state.t_glob, state.uid,
+                         _SALT_POLES if gate is not None else _SALT_INIT)
     rt = params.polemodel_rt
     cur = state.dyn_gains[:, _PF]
     budget = int(getattr(params, "br_resample_budget", 0) or 0)
@@ -117,16 +130,17 @@ def _pole_features(params, state, v, n, gate=None):
         # they are picked up on following steps (index-ordered), a
         # deferral the speed-hysteresis semantics absorb.
         idx = jnp.nonzero(need, size=budget, fill_value=n)[0]
-        v_sub = v[jnp.minimum(idx, n - 1)]
-        sampled_sub, _ = rt.sample_features_batch(sub, v_sub)
+        safe = jnp.minimum(idx, n - 1)
+        v_sub = v[safe]
+        sampled_sub, _ = rt.sample_features_batch(keys[safe], v_sub)
         feats = cur.at[idx].set(sampled_sub, mode="drop")
         v_last = v_last.at[idx].set(v_sub, mode="drop")
     else:
-        sampled, _ = rt.sample_features_batch(sub, v)
+        sampled, _ = rt.sample_features_batch(keys, v)
         feats = jnp.where(need[:, None], sampled, cur)
         v_last = jnp.where(need, v, v_last)
     dg = state.dyn_gains.at[:, _PF].set(feats).at[:, _VLAST].set(v_last)
-    return feats, state.replace(dyn_gains=dg, key=key)
+    return feats, state.replace(dyn_gains=dg)
 
 
 def _gains_at(params, A0, A1, A2, B, feats, v):
@@ -191,19 +205,26 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
     psi_F = limit_angle(jnp.arctan2(-fy, fx))
     psi_c = psi_bike + angle_difference(psi_bike, psi_F)
 
-    # ---- torque disturbances (re-introduced feature; p = 0 -> exact
-    # zeros, so the deterministic path is unaffected)
-    key, sub = jax.random.split(state.key)
-    kr, ks = jax.random.split(sub)
-    b_roll = jax.random.bernoulli(
-        kr, jnp.broadcast_to(jnp.asarray(params.p_dist_roll),
-                             (n,))).astype(dtype)
-    b_steer = jax.random.bernoulli(
-        ks, jnp.broadcast_to(jnp.asarray(params.p_dist_steer),
-                             (n,))).astype(dtype)
-    T_roll = b_roll * _bcast(params, "T_dist_roll", n)
-    T_steer = b_steer * _bcast(params, "T_dist_steer", n)
-    state = state.replace(key=key)
+    # ---- torque disturbances (re-introduced feature). br_disturb is a
+    # STATIC flag set by params.create, so the (default) deterministic
+    # program contains no draws at all. Streams are per-agent
+    # (state.agent_streams): sharding/permutation-invariant.
+    if getattr(params, "br_disturb", False):
+        keys_d = agent_streams(state.key, state.t_glob, state.uid,
+                               _SALT_DIST)
+        uu = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
+            keys_d)
+        b_roll = (uu[:, 0]
+                  < jnp.broadcast_to(jnp.asarray(params.p_dist_roll),
+                                     (n,))).astype(dtype)
+        b_steer = (uu[:, 1]
+                   < jnp.broadcast_to(jnp.asarray(params.p_dist_steer),
+                                      (n,))).astype(dtype)
+        T_roll = b_roll * _bcast(params, "T_dist_roll", n)
+        T_steer = b_steer * _bcast(params, "T_dist_steer", n)
+    else:
+        T_roll = jnp.zeros((n,), dtype=dtype)
+        T_steer = jnp.zeros((n,), dtype=dtype)
 
     if getattr(params, "br_prop_lut", None) is not None:
         # ---- tabulated midpoint PROPAGATOR (deterministic perf mode,

@@ -588,6 +588,12 @@ class BalancingRiderParams(BicycleParams):
     p_dist_steer: Any = 0.0
     T_dist_roll: Any = 9000.0
     T_dist_steer: Any = 1000.0
+    # STATIC "any disturbance probability nonzero" flag, set by create():
+    # lets the compiled step skip the per-agent Bernoulli draws entirely
+    # in the (default) deterministic case instead of drawing against
+    # p = 0. Caveat: replace(p_dist_*=...) does not refresh it -- set
+    # disturbance probabilities through create().
+    br_disturb: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, bicycle_parameter_dict=None, poles=None, gains=None,
@@ -837,7 +843,9 @@ class BalancingRiderParams(BicycleParams):
             br_resample_budget=int(resample_budget),
             p_dist_roll=_chk_range("p_dist_roll", p_dist_roll, 0.0, 1.0),
             p_dist_steer=_chk_range("p_dist_steer", p_dist_steer, 0.0, 1.0),
-            T_dist_roll=T_dist_roll, T_dist_steer=T_dist_steer, **kw)
+            T_dist_roll=T_dist_roll, T_dist_steer=T_dist_steer,
+            br_disturb=bool(np.any(np.asarray(p_dist_roll))
+                            or np.any(np.asarray(p_dist_steer))), **kw)
 
 
 class RoadElementParams(struct.PyTreeNode):

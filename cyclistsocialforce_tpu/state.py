@@ -79,7 +79,13 @@ class AgentState(struct.PyTreeNode):
     pos_hist: Any          # [N, H, 2] float, slot t_glob % H = pos @ step t
     # population mask for dynamic add/remove without reshaping
     active: Any            # [N] bool
-    key: Any               # PRNG key (single, split per step)
+    # persistent per-agent identity: stochastic draws are keyed by
+    # (key, t_glob, uid), so an agent's random stream follows it through
+    # row permutations (sorted residency) and device sharding -- see
+    # agent_streams
+    uid: Any               # [N] int32
+    key: Any               # master PRNG key (CONSTANT; never split --
+    #                        per-step streams derive from t_glob + uid)
 
     @property
     def n(self) -> int:
@@ -185,8 +191,28 @@ def make_state(s0, queue_size: int = 16, hist_len: int = 128,
         t_glob=jnp.zeros((), dtype=jnp.int32),
         pos_hist=pos_hist,
         active=jnp.ones((n,), dtype=bool),
+        uid=jnp.arange(n, dtype=jnp.int32),
         key=jax.random.PRNGKey(seed),
     )
+
+
+def agent_streams(key, t_glob, uid, salt: int):
+    """Per-agent PRNG keys as a pure function of (master key, global step
+    clock, agent uid, call-site salt).
+
+    Stochastic draws keyed this way are bit-identical under any row
+    permutation (the sorted-resident simulate path) and any device
+    sharding (the uid rides the row through permute_state and
+    shard_state) -- a sharded stochastic run reproduces its single-device
+    run exactly. The reference's RNG (one global numpy stream,
+    parameters.py:1376-1411) has no such property; this is strictly
+    stronger than its distribution-level semantics. Cost: two bulk
+    threefry passes over [N] on the VPU (the per-agent key LADDER --
+    split chains inside a scan -- was the round-2 30 ms/step trap; a
+    vmapped fold_in is one vectorized pass).
+    """
+    ks = jax.random.fold_in(jax.random.fold_in(key, salt), t_glob)
+    return jax.vmap(lambda u: jax.random.fold_in(ks, u))(uid)
 
 
 def set_destinations(state: AgentState, agent: int, x, y, stop=None,

@@ -91,6 +91,10 @@ class SumoIntersection:
         self._step_jit = jax.jit(lambda e, s: e.step(s))
         self._slots: dict[str, int] = {}
         self._rng = np.random.default_rng(0)
+        # fresh per-agent RNG identity for each entrant (state.uid keys
+        # the stochastic streams; a recycled slot must not resume the
+        # previous occupant's stream)
+        self._next_uid = capacity
 
     # ---- handover bookkeeping ----
 
@@ -180,7 +184,9 @@ class SumoIntersection:
             znavparams=st.znavparams.at[slot].set(0.0),
             pid_e=st.pid_e.at[slot].set(0.0),
             pid_i=st.pid_i.at[slot].set(0.0),
+            uid=st.uid.at[slot].set(self._next_uid),
         )
+        self._next_uid += 1
         st = set_destinations(st, slot, xp, yp, reset=True)
         # model-specific latents for the new slot only
         prep = getattr(self.model, "prepare", None)
