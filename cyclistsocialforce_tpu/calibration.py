@@ -248,11 +248,88 @@ class Calibration:
                   f"iterations ({n_calls} evaluations)")
         return xopt, self.result
 
-    def test(self, vals=None):
+    def per_track_errors(self, vals=None, test=True):
+        """Per-track SSE over the valid steps: the reference prints /
+        plots per-test-sample results (calibration.py:528-623); this is
+        the tabular half. Returns (errors [K], outputs [K, T, F])."""
+        data = self.test_data if test else self.train_data
+        if data is None:
+            raise ValueError("no test data")
+        if vals is None:
+            vals = self.result["x"]
+        p = self._candidate_params(jnp.asarray(vals, dtype=jnp.float64))
+        out = np.asarray(self.simulate(p, data))
+        objectives = np.asarray(data.objectives)
+        mask = (np.arange(data.inputs.shape[1])[None, :]
+                < np.asarray(data.lengths)[:, None])
+        errs = np.sum(((out - objectives) ** 2) * mask[..., None],
+                      axis=(1, 2))
+        return errs, out
+
+    def test(self, vals=None, plot=False, color="blue", axes=None,
+             name=None, plot_inref=True):
         """Error on the test partition for `vals` (default: the optimum),
-        reference test (calibration.py:528-623)."""
+        reference test (calibration.py:528-623).
+
+        With `plot=True`, also draws the reference's result diagnostic --
+        one subplot per test track overlaying the measured objective
+        (gray), the simulated trajectory under the calibrated parameters
+        (`color`), and, for a heading objective with `plot_inref`, the
+        input-force direction (gray dashed) -- and returns
+        (error, figure). Angle features (state index 2, psi) are shown
+        in degrees relative to the track's initial heading, exactly like
+        the reference's `to_deg(traj - s0[2])`; other features are shown
+        raw vs step index. `axes` (length K) plots into an existing
+        figure so several calibrations can be compared (the reference's
+        color/name/axes reuse)."""
         if self.test_data is None:
             raise ValueError("no test data")
         if vals is None:
             vals = self.result["x"]
-        return self.objective(vals, test=True)
+        err = self.objective(vals, test=True)
+        if self.verbose:
+            errs, _ = self.per_track_errors(vals)
+            for j, e in enumerate(errs):
+                print(f"    test track {j}: SSE {e:.4f} "
+                      f"({int(self.test_data.lengths[j])} steps)")
+            print(f"    SSE: {err:.4f}")
+        if not plot:
+            return err
+        import matplotlib.pyplot as plt
+
+        data = self.test_data
+        _, out = self.per_track_errors(vals)
+        k = len(data)
+        feats = tuple(self.objective_features)
+        if axes is None:
+            fig, axes = plt.subplots(1, k, sharey=True, squeeze=False,
+                                     figsize=(3 * k, 3))
+            axes = axes[0]
+        else:
+            fig = axes[0].figure
+        for j, ax in enumerate(axes[:k]):
+            t = int(data.lengths[j])
+            for fi, feat in enumerate(feats):
+                if feat == 2:   # heading: degrees relative to psi_0
+                    ref0 = float(data.s0[j, 2])
+                    scale = 180.0 / np.pi
+                    obj = (data.objectives[j, :t, fi] - ref0) * scale
+                    sim = (out[j, :t, fi] - ref0) * scale
+                    if plot_inref:
+                        uin = data.inputs[j, :t]
+                        ax.plot((np.arctan2(uin[:, 1], uin[:, 0]) - ref0)
+                                * scale, color="gray", linestyle="--",
+                                label="reference input" if fi == 0
+                                else None)
+                else:
+                    obj = data.objectives[j, :t, fi]
+                    sim = out[j, :t, fi]
+                ax.plot(obj, color="gray",
+                        label="measurement" if fi == 0 else None)
+                ax.plot(sim, color=color,
+                        label=name if fi == 0 else None)
+            ax.set_title(f"track {j}")
+            ax.set_xlabel("step")
+        if name or plot_inref:
+            axes[0].legend(fontsize=7)
+        return err, fig

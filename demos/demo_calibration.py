@@ -79,6 +79,17 @@ def main():
     print(f"calibration: true k_p_v={truth}, recovered {xopt[0]:.4f} "
           f"(train error {res['error']:.2e}, test {cal.test():.2e})")
 
+    # result diagnostics (reference calibration.py:528-623): per-test-
+    # track sim-vs-data overlay, written headlessly
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _, fig = cal.test(plot=True, name="calibrated")
+    out_png = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "calibration_test_overlay.png")
+    fig.savefig(out_png, dpi=110)
+    print(f"test-track overlay written to {out_png}")
+
     # population sweep (vmapped candidate batch)
     cands = np.linspace(6, 14, 9)[:, None]
     errs = cal.evaluate_population(cands)

@@ -55,11 +55,13 @@ def main():
 
     v0 = jnp.asarray(np.random.default_rng(0).uniform(1.5, 10.5, args.n),
                      dtype=jnp.float32)
-    np.asarray(run(v0))  # compile + warm
+    # sync on a TINY slice: the full [N] transfer adds constant tunnel
+    # latency to every measurement (ADVICE r3)
+    np.asarray(run(v0)[:2])  # compile + warm
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(run(v0))
+        np.asarray(run(v0)[:2])
         dt = min(dt, time.perf_counter() - t0)
     print(f"poly form={args.form} M={M} N={args.n}: "
           f"{1e3 * dt / args.iters:.4f} ms/iter")

@@ -15,7 +15,8 @@ from cyclistsocialforce_tpu.models import MODELS
 from cyclistsocialforce_tpu.params import BicycleParams
 
 
-def _make_tracks(k_p_v=10.0, n_tracks=6, t_steps=150, seed=0):
+def _make_tracks(k_p_v=10.0, n_tracks=6, t_steps=150, seed=0,
+                 features=(0, 1)):
     """Synthesize tracks from the bicycle2d model with known params."""
     import jax
     import jax.numpy as jnp
@@ -49,7 +50,7 @@ def _make_tracks(k_p_v=10.0, n_tracks=6, t_steps=150, seed=0):
     out = np.asarray(jnp.swapaxes(out, 0, 1))      # [K, T, 4]
     first = s0[:, None, :4]
     obs = np.concatenate([first, out[:, :-1]], axis=1)
-    tracks = [(s0[j], inputs[j], obs[j, :, :2]) for j in
+    tracks = [(s0[j], inputs[j], obs[j][:, list(features)]) for j in
               range(n_tracks)]
     return CalibrationData.from_tracks(tracks)
 
@@ -121,6 +122,45 @@ def test_split_and_test_error():
                       maxiter=60, verbose=False)
     cal.run([6.0])
     assert cal.test() < 1e-6
+
+
+def test_result_diagnostics_plot_and_per_track_errors():
+    """The reference's calibration test() diagnostic (per-test-track
+    sim-vs-data overlay + per-track error, calibration.py:528-623):
+    test(plot=True) must render one axis per test track headlessly with
+    measurement + simulation lines, and per_track_errors must sum to the
+    SSE objective."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    data = _make_tracks(n_tracks=8)
+    train, test = data.split(0.75, rng=np.random.default_rng(1))
+    cal = Calibration(MODELS["bicycle2d"], BicycleParams.create(),
+                      ["k_p_v"], train, test_data=test,
+                      objective_features=(0, 1), fix_speed=False,
+                      maxiter=60, verbose=False)
+    cal.run([6.0])
+    err, fig = cal.test(plot=True, name="calibrated")
+    assert len(fig.axes) == len(test)
+    # measurement (gray) + simulation per feature, per axis
+    assert all(len(ax.lines) == 2 * 2 for ax in fig.axes)
+    errs, out = cal.per_track_errors()
+    assert out.shape == (len(test), data.inputs.shape[1], 2)
+    np.testing.assert_allclose(errs.sum(), err, rtol=1e-10)
+    # heading-objective variant exercises the degree transform + the
+    # reference-input dashed line
+    data_psi = _make_tracks(n_tracks=8, features=(2,))
+    train, test = data_psi.split(0.75, rng=np.random.default_rng(1))
+    cal_psi = Calibration(MODELS["bicycle2d"], BicycleParams.create(),
+                          ["k_p_v"], train, test_data=test,
+                          objective_features=(2,), fix_speed=False,
+                          maxiter=5, verbose=True)
+    cal_psi.run([9.0])
+    err2, fig2 = cal_psi.test(plot=True, plot_inref=True)
+    assert all(len(ax.lines) == 3 for ax in fig2.axes)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def test_error_functions_masking():
