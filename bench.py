@@ -194,14 +194,28 @@ def main(n_agents=100_000, n_steps=240, density=0.02):
 
     agent_steps_per_sec = n_agents * n_steps / dt
     realtime_target = 100.0 * n_agents  # t_s=0.01 -> 100 steps/s of N agents
-    print(json.dumps({
+    out = {
         "metric": f"agent-steps/sec, N={n_agents} cyclists at "
                   f"{density}/m^2, full social-force pipeline "
                   f"(culled pairwise field, Pallas, overflow-audited)",
         "value": round(agent_steps_per_sec, 1),
         "unit": "agent-steps/sec",
         "vs_baseline": round(agent_steps_per_sec / realtime_target, 3),
-    }))
+    }
+    if n_agents == 100_000 and n_steps >= 120:
+        # explicit VPU-issue roofline (BASELINE.md "Roofline statement"):
+        # pair stage ~= step minus the measured 0.31 ms body/bookkeeping
+        # floor (scripts/exp_body_split.py); candidate set is the audited
+        # 875 pairs/agent at this config; 0.26 ps/lane-op is the measured
+        # v5e VPU issue peak and ~110 lane-ops/pair the hand-counted
+        # useful tile work (scripts/exp_kernel_compare.py)
+        pair_ms = 1e3 * dt / n_steps - 0.31
+        ps_per_pair = 1e9 * pair_ms / (875 * n_agents)
+        out["pair_stage_ps_per_pair"] = round(ps_per_pair, 1)
+        out["vpu_issue_slots_per_pair"] = round(ps_per_pair / 0.26, 0)
+        out["pct_of_useful_op_floor"] = round(
+            100.0 * (110 * 0.26) / ps_per_pair, 1)
+    print(json.dumps(out))
 
 
 def main_heavy(n_agents=100_000, n_steps=240, density=0.02):
@@ -278,13 +292,14 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
     """Additional model-family metrics (one per subprocess): the spline
     path-planning models and the stochastic flagship at bench scale.
 
-    Configs follow the BASELINE.md round-3 record: invpendulum disables
-    the sorted-resident fast path (its large per-step op graph schedules
-    ~3.5x slower sorted-resident in long rebuild chunks) and uses the
-    tabulated ZOH propagator (zoh_lut); twod re-enables sorted residency
-    (the global-clock ring write + cond-gated spline fallback shrank its
-    step body below the SR-pathology threshold: 14.2M with SR vs 12.2M
-    without).
+    Configs follow the BASELINE.md round-4 record: invpendulum ships the
+    gather-free piecewise-quintic ZOH propagator (zoh_poly), which
+    shrank its step body enough to flip sorted residency back to a win
+    (16.3M SR+poly vs 14.5M noSR+lut); twod keeps sorted residency
+    (round 3); the stochastic flagship ships the Ackermann-basis
+    piecewise polynomial + the t_glob-gated resampling cadence
+    (resample_every=4, budget 4096 -- same resamples/step capacity as
+    the round-3 2048/1 config, 17.2M vs 14.0M).
     """
     n_agents, n_steps = _scale_overrides(n_agents, n_steps)
     _enable_compile_cache()
@@ -313,19 +328,19 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
         label = ("twod spline-path-planning model (masked not-a-knot "
                  "spline fit + curvature speed law per agent per step)")
     elif row == "invpendulum":
-        params = InvPendulumBicycleParams.create(zoh_lut=4096)
-        model, sr = MODELS["invpendulum"], False
+        params = InvPendulumBicycleParams.create(zoh_poly=32)
+        model, sr = MODELS["invpendulum"], True
         label = ("invpendulum model (spline dest force + closed-loop "
-                 "5-state roll/steer dynamics, 4096-pt tabulated ZOH "
-                 "propagator)")
+                 "5-state roll/steer dynamics, gather-free piecewise-"
+                 "quintic ZOH propagator)")
     else:
         params = BalancingRiderParams.create(
-            stochastic_control_behavior=True, resample_budget=2048,
-            gains_lut=4096, verbose=False)
+            stochastic_control_behavior=True, resample_budget=4096,
+            resample_every=4, gains_poly=16, verbose=False)
         model, sr = MODELS["balancingrider"], True
         label = ("STOCHASTIC flagship (on-device conditional-GMM pole "
-                 "resampling, budget-compacted, 4096-pt Ackermann-basis "
-                 "gain table, + torque disturbances)")
+                 "resampling, budget-compacted at a 4-step cadence, "
+                 "gather-free piecewise-quintic Ackermann basis)")
     engine = Engine.create(params, model, neighbors=cfg,
                            sorted_resident=sr)
     state = prepare(model, params, state)

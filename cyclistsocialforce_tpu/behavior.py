@@ -821,14 +821,24 @@ class PoleModelRT(struct.PyTreeNode):
         n = v.shape[0]
         fm1 = self.n_features - 1
         dtype = self.means.dtype
-        if jnp.ndim(key) == 2:
+        import os
+        if jnp.ndim(key) == 2 and os.environ.get("CSF_BULKDRAW"):
+            ku, kz = jax.random.split(key[0])   # TEMP probe
+            u = jax.random.uniform(ku, (n, rounds), dtype=dtype)
+            z = jax.random.normal(kz, (n, rounds, fm1), dtype=dtype)
+        elif jnp.ndim(key) == 2:
             def draws(k):
                 ku_i, kz_i = jax.random.split(k)
                 return (jax.random.uniform(ku_i, (rounds,), dtype=dtype),
                         jax.random.normal(kz_i, (rounds, fm1),
                                           dtype=dtype))
 
-            u, z = jax.vmap(draws)(key)
+            # BARRIER the drawn randomness: without the fence XLA fuses
+            # the vmapped threefry chains into the rejection-round
+            # consumers below and the whole sorted-resident step
+            # re-schedules (~1.6 ms/step at N = 1e5, budget 2048 --
+            # the same fusion cliff as the gain-LUT row gathers)
+            u, z = jax.lax.optimization_barrier(jax.vmap(draws)(key))
         else:
             ku, kz = jax.random.split(key)
             u = jax.random.uniform(ku, (n, rounds), dtype=dtype)

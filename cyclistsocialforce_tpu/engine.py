@@ -1441,15 +1441,31 @@ def permute_state(state: AgentState, perm) -> AgentState:
     packT = gather_rows(packT)
     if ipackT is not None:
         ipackT = gather_rows(ipackT)
-    return unpack_state_rows(state, packT, ipackT)
+    out = unpack_state_rows(state, packT, ipackT)
+    # uid rides OUTSIDE the packed matrix (see _PACK_EXCLUDED): one
+    # standalone [N] int gather per rebuild is per-row-bound noise
+    return out.replace(uid=state.uid[perm])
+
+
+# uid is EXCLUDED from the packed state matrix: appending it as the
+# 114th column re-schedules the whole sorted-resident stochastic step
+# (XLA temp memory 175 -> 388 MB, +1.5 ms/step at N = 1e5 -- measured
+# round 4; the det flagship was unaffected, so this is a scheduling
+# cliff, not gather cost). Callers of pack/unpack must transport uid
+# separately (permute_state gathers it standalone; the halo reshard
+# sends it through the `extras` channel).
+_PACK_EXCLUDED = ("uid",)
 
 
 def _state_pack_layout(state):
     """Field layout of the packed state matrix: (flt, ints) lists of
     (field, restshape, cols, dtype), ints holding every integer/bool
-    field (packed separately or bitcast into the float matrix)."""
+    field (packed separately or bitcast into the float matrix).
+    Fields in _PACK_EXCLUDED are left out (see note above)."""
     flt, ints = [], []
     for f in _ALL_AGENT_FIELDS:
+        if f in _PACK_EXCLUDED:
+            continue
         a = getattr(state, f)
         cols = 1
         for d in a.shape[1:]:

@@ -111,8 +111,7 @@ def _pole_features(params, state, v, n, gate=None):
     # sorted-resident permutation and device sharding. The initial draw
     # (gate is None, from init_gains) uses its own salt so a step-0
     # resample never repeats the init draw.
-    keys = agent_streams(state.key, state.t_glob, state.uid,
-                         _SALT_POLES if gate is not None else _SALT_INIT)
+    salt = _SALT_POLES if gate is not None else _SALT_INIT
     rt = params.polemodel_rt
     cur = state.dyn_gains[:, _PF]
     budget = int(getattr(params, "br_resample_budget", 0) or 0)
@@ -129,13 +128,43 @@ def _pole_features(params, state, v, n, gate=None):
         # beyond the budget stay un-updated and therefore still needy --
         # they are picked up on following steps (index-ordered), a
         # deferral the speed-hysteresis semantics absorb.
-        idx = jnp.nonzero(need, size=budget, fill_value=n)[0]
-        safe = jnp.minimum(idx, n - 1)
-        v_sub = v[safe]
-        sampled_sub, _ = rt.sample_features_batch(keys[safe], v_sub)
-        feats = cur.at[idx].set(sampled_sub, mode="drop")
-        v_last = v_last.at[idx].set(v_sub, mode="drop")
+        def resample(cur, v_last):
+            # compaction via cumsum + positional scatter: measurably
+            # cheaper than jnp.nonzero(size=...) on TPU (0.63 vs 0.99
+            # ms/call at N = 1e5, b = 2048 -- the nonzero was the
+            # single largest stochastic-body op)
+            pos = jnp.cumsum(need.astype(jnp.int32)) - 1
+            tgt = jnp.where(need & (pos < budget), pos, budget)
+            idx = jnp.full((budget + 1,), n, jnp.int32).at[tgt].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget]
+            safe = jnp.minimum(idx, n - 1)
+            v_sub = v[safe]
+            # fold the per-agent keys for the COMPACTED subset only:
+            # the stream is a pure function of the uid, so folding
+            # after the gather is bit-identical to gathering
+            # pre-folded [N] keys at a fraction of the cost
+            keys_sub = agent_streams(state.key, state.t_glob,
+                                     state.uid[safe], salt)
+            sampled_sub, _ = rt.sample_features_batch(keys_sub, v_sub)
+            return (cur.at[idx].set(sampled_sub, mode="drop"),
+                    v_last.at[idx].set(v_sub, mode="drop"))
+
+        every = int(getattr(params, "br_resample_every", 1) or 1)
+        if every > 1:
+            # resampling CADENCE (params.create resample_every=K): run
+            # the compact-sample-scatter machinery only every K-th
+            # global step. The speed-hysteresis semantics absorb the
+            # extra <=(K-1)-step deferral exactly like the budget's
+            # (reference resampling is itself hysteresis-gated,
+            # parameters.py:1397-1411); gating on t_glob keeps runs
+            # bit-identical under sharding/permutation.
+            feats, v_last = jax.lax.cond(
+                state.t_glob % every == 0, resample,
+                lambda cur, v_last: (cur, v_last), cur, v_last)
+        else:
+            feats, v_last = resample(cur, v_last)
     else:
+        keys = agent_streams(state.key, state.t_glob, state.uid, salt)
         sampled, _ = rt.sample_features_batch(keys, v)
         feats = jnp.where(need[:, None], sampled, cur)
         v_last = jnp.where(need, v, v_last)
@@ -223,8 +252,13 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         T_roll = b_roll * _bcast(params, "T_dist_roll", n)
         T_steer = b_steer * _bcast(params, "T_dist_steer", n)
     else:
-        T_roll = jnp.zeros((n,), dtype=dtype)
-        T_steer = jnp.zeros((n,), dtype=dtype)
+        import os as _os
+        if _os.environ.get("CSF_NCDIST"):   # TEMP probe: non-constant 0
+            T_roll = s[:, V] * dtype.type(0.0)
+            T_steer = s[:, V] * dtype.type(0.0)
+        else:
+            T_roll = jnp.zeros((n,), dtype=dtype)
+            T_steer = jnp.zeros((n,), dtype=dtype)
 
     if getattr(params, "br_prop_lut", None) is not None:
         # ---- tabulated midpoint PROPAGATOR (deterministic perf mode,
@@ -351,11 +385,20 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
 
             mc = eval_piecewise_poly(
                 params.br_ackermann_poly, v_mid, 30)       # 30 x [N]
-            ct = jax.vmap(charpoly_from_pole_features)(feats).T  # [6, N]
+            # BARRIER the evaluated basis before the contraction: without
+            # it XLA re-materializes the masked-select Horner chains into
+            # every consumer of K in the 5x5 midpoint algebra under the
+            # sorted-resident culled simulate (measured 51 ms/step vs
+            # 5.4 with the fence at N = 1e5 -- the same fusion trap as
+            # the lut branches' row gathers)
+            mc = jax.lax.optimization_barrier(mc)
+            ct = jax.lax.optimization_barrier(
+                jax.vmap(charpoly_from_pole_features)(feats).T)  # [6, N]
             # K[:, k] = sum_c coeffs[c] * M[c, k]; layout m = 5*c+k
             K_new = jnp.stack(
                 [sum(ct[c] * mc[5 * c + k] for c in range(6))
                  for k in range(5)], axis=1)
+            K_new = jax.lax.optimization_barrier(K_new)
         elif getattr(params, "br_ackermann_lut", None) is not None:
             # tabulated Ackermann BASIS (params.create gains_lut=G with
             # stochastic behavior): K is linear in the characteristic

@@ -287,8 +287,11 @@ def _reshard_rows(lstate, extras, idx, axis):
 
     st = unpack_state_rows(lstate, take(packT),
                            None if ipackT is None else take(ipackT))
-    ex = [jax.lax.all_gather(e, axis, tiled=True)[idx] for e in extras]
-    return st, ex
+    # uid is excluded from the packed matrix (engine._PACK_EXCLUDED):
+    # redistribute it through the same channel as the identity carry
+    ex = [jax.lax.all_gather(e, axis, tiled=True)[idx]
+          for e in list(extras) + [lstate.uid]]
+    return st.replace(uid=ex[-1]), ex[:-1]
 
 
 def _global_reshard(engine, lstate, ident, axis, from_original=False):

@@ -582,6 +582,11 @@ class BalancingRiderParams(BicycleParams):
     # later steps (deferred agents stay needy). Population-scale runs
     # want ~2-4x the expected per-step resample count.
     br_resample_budget: int = struct.field(pytree_node=False, default=0)
+    # Resampling cadence: run the budget-compacted resampler only every
+    # K-th global step (1 = every step). The speed-hysteresis semantics
+    # absorb the <=(K-1)-step deferral; gating on t_glob keeps runs
+    # bit-identical under sharding and sorted residency.
+    br_resample_every: int = struct.field(pytree_node=False, default=1)
     # torque disturbances -- re-introduced feature (the reference removed
     # support: dynamics.py:317-318; params parameters.py:1319-1322)
     p_dist_roll: Any = 0.0
@@ -605,6 +610,7 @@ class BalancingRiderParams(BicycleParams):
                p_dist_roll=0.0, p_dist_steer=0.0,
                T_dist_roll=9000.0, T_dist_steer=1000.0,
                gains_lut=0, prop_lut=0, gains_poly=0, resample_budget=0,
+               resample_every=1,
                calib_mode=False, verbose=True, **kw):
         from cyclistsocialforce_tpu import behavior
         from cyclistsocialforce_tpu.ops import whipple
@@ -841,6 +847,7 @@ class BalancingRiderParams(BicycleParams):
                 controlparam_resampling_speedthresh),
             polemodel_rt=pm_rt,
             br_resample_budget=int(resample_budget),
+            br_resample_every=int(resample_every),
             p_dist_roll=_chk_range("p_dist_roll", p_dist_roll, 0.0, 1.0),
             p_dist_steer=_chk_range("p_dist_steer", p_dist_steer, 0.0, 1.0),
             T_dist_roll=T_dist_roll, T_dist_steer=T_dist_steer,

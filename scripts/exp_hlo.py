@@ -37,15 +37,29 @@ def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     _, state = _build(args.agents, dtype=np.float32, density=0.02,
                       hist_len=args.hist, pad_to_block=128,
-                      model_name=args.model)
+                      model_name=("balancingrider"
+                                  if args.model == "stochastic"
+                                  else args.model))
     cfg = NeighborConfig(cutoff=50.0, block=128, kb=14, rebuild_every=20,
                          screen=False,
                          backend=args.backend if on_tpu else "xla")
-    params = (InvPendulumBicycleParams.create(zoh_lut=4096)
-              if args.model == "invpendulum" else BicycleParams.create())
+    sr = None
+    if args.model == "invpendulum":
+        params = InvPendulumBicycleParams.create(zoh_lut=4096)
+    elif args.model == "stochastic":
+        from cyclistsocialforce_tpu.params import BalancingRiderParams
+        params = BalancingRiderParams.create(
+            stochastic_control_behavior=True, resample_budget=2048,
+            gains_lut=4096, verbose=False)
+        args.model = "balancingrider"
+        sr = True
+    else:
+        params = BicycleParams.create()
     model = MODELS[args.model]
     engine = Engine.create(params, model,
-                           neighbors=None if args.rep == "off" else cfg)
+                           neighbors=None if args.rep == "off" else cfg,
+                           **({} if sr is None else
+                              {"sorted_resident": sr}))
     if args.rep == "off":
         engine = engine.replace(rep_force=None)
     state = prepare(model, params, state)

@@ -30,6 +30,19 @@ def main():
     ap.add_argument("--zoh", default="lut", choices=("lut", "poly", "exact"),
                     help="invpendulum ZOH propagator source")
     ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--sr", default="default", choices=("default", "on",
+                                                        "off"),
+                    help="override the row's sorted_resident setting")
+    ap.add_argument("--rebuild-mode", default="chunked",
+                    choices=("chunked", "flat"))
+    ap.add_argument("--budget", type=int, default=2048,
+                    help="stochastic resample budget")
+    ap.add_argument("--every", type=int, default=1,
+                    help="stochastic resample cadence (steps)")
+    ap.add_argument("--thresh", type=float, default=None,
+                    help="stochastic resampling speed threshold")
+    ap.add_argument("--rebuild-every", type=int, default=0,
+                    help="override the bench rebuild_every (0 = keep)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +67,9 @@ def main():
     _, state = _build(n, dtype=np.float32, density=0.02, hist_len=hist,
                       pad_to_block=BLOCK, model_name=model_name)
     cfg = NeighborConfig(
-        cutoff=CUTOFF, block=BLOCK, kb=KB, rebuild_every=REBUILD,
+        cutoff=CUTOFF, block=BLOCK, kb=KB,
+        rebuild_every=args.rebuild_every or REBUILD,
+        rebuild_mode=args.rebuild_mode,
         sub=0, screen=False, block_src=BLOCK_SRC,
         backend="pallas" if on_tpu else "xla")
     if args.row == "twod":
@@ -74,10 +89,15 @@ def main():
     else:
         gkw = {"lut": dict(gains_lut=4096), "poly": dict(gains_poly=16),
                "fixed": {}, "exact": {}}[args.gains]
+        if args.thresh is not None:
+            gkw["controlparam_resampling_speedthresh"] = args.thresh
         params = BalancingRiderParams.create(
-            stochastic_control_behavior=True, resample_budget=2048,
-            verbose=False, **gkw)
+            stochastic_control_behavior=True,
+            resample_budget=args.budget,
+            resample_every=args.every, verbose=False, **gkw)
         model, sr = MODELS["balancingrider"], True
+    if args.sr != "default":
+        sr = args.sr == "on"
     engine = Engine.create(params, model,
                            neighbors=cfg if args.full else None,
                            sorted_resident=sr)
@@ -100,7 +120,9 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
     assert np.all(np.isfinite(probe)), probe
     tag = "full" if args.full else "body-only"
-    print(f"{args.row} {tag}: {1e3 * dt / args.steps:.3f} ms/step")
+    print(f"{args.row} {tag} (gains={args.gains} zoh={args.zoh} "
+          f"sr={sr}): {1e3 * dt / args.steps:.3f} ms/step = "
+          f"{n * args.steps / dt / 1e6:.2f}M agent-steps/s")
 
 
 if __name__ == "__main__":

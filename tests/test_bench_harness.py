@@ -30,6 +30,7 @@ def run_harness(selftest, budget, timeout=120):
     return r, lines
 
 
+@pytest.mark.slow
 def test_hang_row_killed_and_headline_last():
     r, lines = run_harness("ok", budget=600)
     assert r.returncode == 0

@@ -30,6 +30,7 @@ def test_demo_runs(cmd):
     assert out.returncode == 0, out.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_demo_calibration():
     out = subprocess.run(
         [sys.executable, "demos/demo_calibration.py"],

@@ -136,6 +136,7 @@ def test_stochastic_basis_lut_error_bound():
     assert worst < 1e-5, worst
 
 
+@pytest.mark.slow
 def test_stochastic_basis_lut_trajectories_match_exact():
     """End-to-end: with the same RNG seed (identical pole-feature draws),
     the basis-LUT and exact stochastic gain paths ride the same
@@ -212,6 +213,7 @@ def test_invpendulum_zoh_lut_error_bound():
     assert err.max() < 5e-5, err.max()
 
 
+@pytest.mark.slow
 def test_invpendulum_zoh_lut_trajectories_match_exact():
     """End-to-end: the LUT and exact expm paths produce the same riding
     trajectories (sub-mm over 2 s)."""
@@ -268,6 +270,7 @@ def test_prop_lut_rows_match_direct_construction():
         np.testing.assert_allclose(tab[g, 30:35], R, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_prop_lut_trajectories_match_exact():
     """End-to-end: the tabulated-propagator path stays on the exact
     path's trajectory (the table folds in BOTH the K(v) interpolation
@@ -427,6 +430,7 @@ def test_stochastic_basis_poly_error_bound():
     assert fit_error(ps.br_ackermann_poly, m_sweep) < 1e-4
 
 
+@pytest.mark.slow
 def test_stochastic_basis_poly_trajectories_match_exact():
     """End-to-end: with the same RNG seed (identical pole-feature draws),
     the basis-poly and exact stochastic gain paths ride the same
@@ -479,6 +483,7 @@ def test_invpendulum_zoh_poly_error_bound():
     assert fit_error(p.ip_zoh_poly, sweep, band=(1.45, 7.0)) < 1e-5
 
 
+@pytest.mark.slow
 def test_invpendulum_zoh_poly_trajectories_match_exact():
     """End-to-end: the poly and exact expm paths produce the same riding
     trajectories (sub-mm over 2 s), including through walking<->riding

@@ -47,6 +47,7 @@ def test_score_nll_matches_density():
     np.testing.assert_allclose(nll, expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_gridsearch_selects_two_components():
     X = _two_blob_data(n=400, seed=1)
     gmm, info = gmm_fit.fit_optimize(

@@ -7,9 +7,11 @@ against an INDEPENDENTLY built closed-loop state-space system integrated
 with scipy -- implementation vs control-theory oracle."""
 
 import numpy as np
+import pytest
 from scipy.linalg import expm
 
 
+@pytest.mark.slow
 def test_yaw_stepresponse_invpendulum():
     import jax.numpy as jnp
 

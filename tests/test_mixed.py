@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from cyclistsocialforce_tpu import Engine, make_state
 from cyclistsocialforce_tpu.mixed import MixedEngine, prepare_groups
@@ -19,6 +20,7 @@ def _state(s0, dests):
     return st
 
 
+@pytest.mark.slow
 def test_far_apart_groups_match_homogeneous_engines():
     """With groups too far apart to interact, each group's trajectory in
     the mixed engine equals its homogeneous-engine run."""

@@ -46,6 +46,7 @@ def test_mixed_culled_matches_dense_full_cutoff(backend, tol):
     np.testing.assert_allclose(np.asarray(fy_c), np.asarray(fy_d), atol=tol)
 
 
+@pytest.mark.slow
 def test_mixed_culled_cutoff_error_bounded():
     """Mixed-family production cutoff: dropped tail below the 1e-4 force
     tolerance. The legacy field needs a LARGER cutoff than twod: its
@@ -63,6 +64,7 @@ def test_mixed_culled_cutoff_error_bounded():
     assert err < 1e-4, err
 
 
+@pytest.mark.slow
 def test_mixed_culled_simulate_matches_dense():
     """End-to-end: several steps of the culled mixed engine track the
     dense mixed engine (chunked rebuild path included)."""
@@ -77,6 +79,7 @@ def test_mixed_culled_simulate_matches_dense():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_mixed_culled_with_scripted_car():
     """A scripted 'car' (replayed trajectory, force-immune) in a culled
     mixed crowd: it follows its script exactly and deflects a nearby
@@ -139,6 +142,7 @@ def test_mixed_culled_with_scripted_car():
     assert dev > 1e-4, "rider not deflected by the scripted car's field"
 
 
+@pytest.mark.slow
 def test_mixed_culled_10k_smoke():
     """10k heterogeneous agents (twod + legacy) through the culled path:
     runs under jit+scan, stays finite (VERDICT r1 'Done' criterion)."""

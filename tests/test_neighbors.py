@@ -205,6 +205,7 @@ def test_neighbor_path_with_padding():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_overflow_surfaced_in_metrics_and_checkify():
     """An undersized kb must be DETECTABLE: nonzero nbr_overflow metrics
     column and a checkify error -- never silent force truncation
@@ -259,6 +260,7 @@ def test_kernel_variants_match_oracle(kw):
     assert err < 2e-4, f"{kw}: {err}"
 
 
+@pytest.mark.slow
 def test_sorted_resident_simulate_matches_gather_path():
     """simulate()'s sorted-resident fast path (record=False, N divisible
     by block: the whole state lives cell-sorted per rebuild chunk) must
@@ -335,6 +337,7 @@ def test_full_fov_elision_matches_dense():
     assert not Engine.create(p_fov, MODELS["twod"]).full_fov
 
 
+@pytest.mark.slow
 def test_sorted_resident_metrics_match_gather_path():
     """record_metrics=True composes with the sorted-resident path (the
     per-step metrics are permutation-invariant aggregates)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cyclistsocialforce_tpu import Engine, make_state
 from cyclistsocialforce_tpu.engine import NeighborConfig
@@ -56,6 +57,7 @@ def test_rebuild_remainder_steps():
     assert np.all(np.isfinite(np.asarray(traj)))
 
 
+@pytest.mark.slow
 def test_flat_rebuild_mode_matches_chunked():
     """NeighborConfig(rebuild_mode='flat') -- one flat scan with a
     cond-gated rebuild and the cache carried between steps -- is
@@ -192,6 +194,7 @@ def test_model_sized_state_matches_default_widths():
         raise AssertionError("v_max_walk with zrid width 0 must raise")
 
 
+@pytest.mark.slow
 def test_model_sized_state_spline_family():
     """Right-sizing must be physics-neutral for models that actually USE
     the internal fields at narrower-than-default widths: invpendulum

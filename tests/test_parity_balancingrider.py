@@ -6,6 +6,7 @@ TPU model's closed-form block-triangular midpoint + Ackermann placement
 must match to machine precision."""
 
 import numpy as np
+import pytest
 
 from parity_common import (ENCROACH_DESTS, ENCROACH_S0, assert_parity,
                            load_golden, run_scenario)
@@ -25,6 +26,7 @@ def test_encroachment_balancingrider():
                   v_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_stochastic_control_runs_stable():
     """Stochastic rider behavior: on-device pole resampling keeps the
     closed loop stable and finite (feature re-introduced on top of the
@@ -44,6 +46,7 @@ def test_stochastic_control_runs_stable():
     assert np.max(np.abs(traj[:, :, 5])) < np.pi / 3
 
 
+@pytest.mark.slow
 def test_stochastic_resample_budget():
     """The compacted resampling path (BalancingRiderParams.create
     resample_budget=B): needy agents within the budget are updated
@@ -84,6 +87,40 @@ def test_stochastic_resample_budget():
     feats3, st3 = BR._pole_features(
         params, st2, v_now, n, gate=jnp.ones(n, bool))
     assert np.all(np.asarray(st3.dyn_gains[:, BR._VLAST] == v_now))
+
+
+def test_stochastic_resample_every_cadence():
+    """resample_every=K gates the budget-compacted resampler on the
+    global step clock: needy agents are updated only on steps where
+    t_glob % K == 0, deferred (still needy) otherwise."""
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import make_state
+    from cyclistsocialforce_tpu.models import balancingrider as BR
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+
+    n = 16
+    params = BalancingRiderParams.create(
+        stochastic_control_behavior=True, resample_budget=8,
+        resample_every=3, verbose=False)
+    rng = np.random.default_rng(1)
+    s0 = np.zeros((n, 8))
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = BR.prepare(params, make_state(s0, dtype=np.float64))
+    v_now = jnp.asarray(s0[:, 3])
+    # everyone needy
+    st = st.replace(dyn_gains=st.dyn_gains.at[:, BR._VLAST].set(
+        v_now - 2.0))
+
+    for t, expect_update in ((1, False), (2, False), (3, True)):
+        sti = st.replace(t_glob=jnp.asarray(t, jnp.int32))
+        _, out = BR._pole_features(params, sti, v_now, n,
+                                   gate=jnp.ones(n, bool))
+        updated = np.asarray(out.dyn_gains[:, BR._VLAST] == v_now)
+        # budget 8 < 16 needy: on a firing step the first 8 update
+        assert updated.any() == expect_update
+        if expect_update:
+            assert list(np.where(updated)[0]) == list(range(8))
 
 
 def test_stochastic_budget_trajectories_stable():

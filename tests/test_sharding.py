@@ -155,6 +155,7 @@ def _setup_culled(n, kb=None, rebuild_every=4, block=16, block_src=0):
     return eng_dense, eng_culled, st
 
 
+@pytest.mark.slow
 def test_sharded_culled_matches_dense():
     """The spatially-culled shard_map path (local cell sort + gathered
     block bboxes + neighbor-table tiles) matches the single-device dense
@@ -276,6 +277,7 @@ def test_sharded_honors_combine_forces():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_culled_ring_matches_allgather():
     """The culled-ring schedule (ppermute of the [N/D, 16] sorted pack +
     per-hop table masking) evaluates exactly the same tiles as the
@@ -341,6 +343,7 @@ def test_sharded_sorted_resident_matches_gather_path():
                                np.asarray(fin_rec.s), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_spline_family_matches_single_device():
     """The spline destination force (twod) and the invpendulum dynamics
     (zoh_lut path) are purely local stages -- sharded runs must match
@@ -486,6 +489,7 @@ def test_sharded_flagship_exact_matches_single_device():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_flagship_stochastic_dense_matches_single_device():
     """Stochastic flagship, dense resampling path (no budget), low
     hysteresis threshold so resampling + torque disturbances fire
@@ -513,6 +517,7 @@ def test_sharded_flagship_stochastic_dense_matches_single_device():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_flagship_budget_compaction_matches_single_device():
     """Stochastic flagship WITH resample_budget: the compacted path
     (jnp.nonzero fixed-size scatter) runs per shard. With a non-binding
@@ -537,6 +542,32 @@ def test_sharded_flagship_budget_compaction_matches_single_device():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
+def test_sharded_flagship_resample_cadence_matches_single_device():
+    """resample_every (the t_glob-gated resampling cadence) must stay
+    bit-exact under sharding: t_glob is replicated, so every shard fires
+    the cond on the same steps."""
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    p, m, st = _setup_flagship(16 * n_dev, stochastic=True, budget=8)
+    p = BalancingRiderParams.create(
+        stochastic_control_behavior=True, resample_budget=8,
+        resample_every=3, verbose=False)
+    st = prepare(MODELS["balancingrider"], p, st)
+    eng = _flagship_engine(p, m)
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, 30, record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, 30, record=False)
+    out, _ = run(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
+@pytest.mark.slow
 def test_sharded_flagship_halo_stochastic_matches_single_device():
     """Stochastic flagship through the halo-exchange culled schedule:
     the reshard permutes rows across devices every rebuild chunk -- the
@@ -582,6 +613,7 @@ def test_sharded_flagship_halo_stochastic_matches_single_device():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_culled_halo_matches_single_device():
     """comm='halo' (globally sorted strips + boundary-block exchange)
     reproduces the single-device culled run exactly: same global sort,
@@ -611,6 +643,7 @@ def test_sharded_culled_halo_matches_single_device():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_culled_halo_asymmetric_blocks():
     from cyclistsocialforce_tpu.parallel import (
         make_mesh, required_halo, shard_state, sharded_simulate_fn)
@@ -629,6 +662,7 @@ def test_sharded_culled_halo_asymmetric_blocks():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_halo_overflow_flag():
     """An undersized halo window must raise the overflow flag rather
     than silently dropping interactions."""
@@ -661,6 +695,7 @@ def test_sharded_halo_rejections():
         sharded_simulate_fn(eng_culled, mesh, 4, record=True, comm="halo")
 
 
+@pytest.mark.slow
 def test_sharded_halo_nonsorted_resident_matches_single_device():
     """Engines with sorted_resident=False take Engine.simulate's NON-SR
     chunk path, which re-sorts from ORIGINAL row order each chunk --
@@ -707,6 +742,7 @@ def test_sharded_halo_step_fn_and_rep_reduce_rejected():
         sharded_simulate_fn(eng_rr, mesh, 4, record=False, comm="halo")
 
 
+@pytest.mark.slow
 def test_sharded_halo_spline_family_matches_single_device():
     """The halo reshard moves the WHOLE packed state across chips --
     incl. the spline family's pos_hist ring buffer and global step

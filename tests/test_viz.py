@@ -270,6 +270,7 @@ def test_fft_img_clear_helpers():
     plt.close("all")
 
 
+@pytest.mark.slow
 def test_gridsearch_and_marginal_plots():
     """plot_gridsearch / plot_marginals (reference PoleModel plotting,
     controlbehavior.py:1653-1830) render headless from fit_optimize
