@@ -73,8 +73,42 @@ def test_yaw_stepresponse_invpendulum():
         got.append(np.asarray(x))
     got = np.array(got)
 
-    np.testing.assert_allclose(got, ref, atol=1e-9)
-    # the closed loop actually tracks the commanded yaw
-    assert abs(got[-1, 4] - psi_d) < 0.02
-    # and the lean returns to upright
-    assert abs(got[-1, 2]) < 0.01
+    try:
+        np.testing.assert_allclose(got, ref, atol=1e-9)
+        # the closed loop actually tracks the commanded yaw
+        assert abs(got[-1, 4] - psi_d) < 0.02
+        # and the lean returns to upright
+        assert abs(got[-1, 2]) < 0.01
+    except AssertionError:
+        # plot-on-failure diagnostic (reference test.py:120-165): write
+        # the steer/roll/yaw comparison figure + the system matrices so
+        # a failing oracle is debuggable from the artifact alone
+        _dump_failure_diagnostic(got, ref, psi_d, t_s, v, Acl, Bcl,
+                                 K_x, K_u)
+        raise
+
+
+def _dump_failure_diagnostic(got, ref, psi_d, t_s, v, Acl, Bcl, K_x, K_u,
+                             out_path="/tmp/invpendulum_stepresponse_fail"
+                                      ".png"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.arange(got.shape[0]) * t_s
+    fig, ax = plt.subplots(3, 1, sharex=True, figsize=(7, 8))
+    ax[0].set_title("Error in yaw dynamics test!")
+    for k, (idx, name) in enumerate(((0, "steer angle"),
+                                     (2, "roll angle"),
+                                     (4, "yaw angle"))):
+        ax[k].plot(t, ref[:, idx], label="reference")
+        ax[k].plot(t, got[:, idx], label="implementation")
+        ax[k].set_ylabel(name)
+    ax[2].plot(t, np.full_like(t, psi_d), "k", label="input")
+    ax[2].legend()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    print(f"-- IMPLEMENTATION vs ORACLE diagnostic: {out_path} --")
+    print(f"speed: {v}\nAcl =\n{Acl}\nBcl = {Bcl}")
+    print(f"gains: K_x = {K_x}  K_u = {K_u}")
