@@ -16,6 +16,7 @@ import os
 import pathlib
 import subprocess
 import sys
+import pytest
 
 BENCH = str(pathlib.Path(__file__).resolve().parents[1] / "bench.py")
 
