@@ -298,8 +298,10 @@ def main_row(row, n_agents=100_000, n_steps=240, density=0.02):
     (16.3M SR+poly vs 14.5M noSR+lut); twod keeps sorted residency
     (round 3); the stochastic flagship ships the Ackermann-basis
     piecewise polynomial + the t_glob-gated resampling cadence
-    (resample_every=4, budget 4096 -- same resamples/step capacity as
-    the round-3 2048/1 config, 17.2M vs 14.0M).
+    (resample_every=4, budget 4096 per firing step = 1024
+    resamples/step AVERAGE, half the round-3 2048/1 ceiling -- far
+    above the measured hysteresis trickle at this scenario's speed
+    churn, so no deferral in practice; 17.2M vs 14.0M).
     """
     n_agents, n_steps = _scale_overrides(n_agents, n_steps)
     _enable_compile_cache()

@@ -821,12 +821,7 @@ class PoleModelRT(struct.PyTreeNode):
         n = v.shape[0]
         fm1 = self.n_features - 1
         dtype = self.means.dtype
-        import os
-        if jnp.ndim(key) == 2 and os.environ.get("CSF_BULKDRAW"):
-            ku, kz = jax.random.split(key[0])   # TEMP probe
-            u = jax.random.uniform(ku, (n, rounds), dtype=dtype)
-            z = jax.random.normal(kz, (n, rounds, fm1), dtype=dtype)
-        elif jnp.ndim(key) == 2:
+        if jnp.ndim(key) == 2:
             def draws(k):
                 ku_i, kz_i = jax.random.split(k)
                 return (jax.random.uniform(ku_i, (rounds,), dtype=dtype),

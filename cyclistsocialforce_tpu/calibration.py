@@ -249,22 +249,28 @@ class Calibration:
         return xopt, self.result
 
     def per_track_errors(self, vals=None, test=True):
-        """Per-track SSE over the valid steps: the reference prints /
-        plots per-test-sample results (calibration.py:528-623); this is
-        the tabular half. Returns (errors [K], outputs [K, T, F])."""
+        """Per-track errors over the valid steps, using the calibration's
+        configured error function applied track-by-track: the reference
+        prints / plots per-test-sample results (calibration.py:528-623);
+        this is the tabular half. For the shipped error functions (sse,
+        maesse) the per-track values sum to the full objective. Returns
+        (errors [K], outputs [K, T, F])."""
         data = self.test_data if test else self.train_data
         if data is None:
             raise ValueError("no test data")
         if vals is None:
             vals = self.result["x"]
         p = self._candidate_params(jnp.asarray(vals, dtype=jnp.float64))
-        out = np.asarray(self.simulate(p, data))
-        objectives = np.asarray(data.objectives)
-        mask = (np.arange(data.inputs.shape[1])[None, :]
-                < np.asarray(data.lengths)[:, None])
-        errs = np.sum(((out - objectives) ** 2) * mask[..., None],
-                      axis=(1, 2))
-        return errs, out
+        out = self.simulate(p, data)
+        objectives = jnp.asarray(data.objectives)
+        mask = (jnp.arange(data.inputs.shape[1])[None, :]
+                < jnp.asarray(data.lengths)[:, None]).astype(
+                    objectives.dtype)
+        errs = np.asarray([
+            float(self._err(out[j:j + 1], objectives[j:j + 1],
+                            mask[j:j + 1]))
+            for j in range(len(data))])
+        return errs, np.asarray(out)
 
     def test(self, vals=None, plot=False, color="blue", axes=None,
              name=None, plot_inref=True):
@@ -286,19 +292,24 @@ class Calibration:
             raise ValueError("no test data")
         if vals is None:
             vals = self.result["x"]
-        err = self.objective(vals, test=True)
+        # ONE replay serves the table, the total, and the plot; for the
+        # shipped additive error functions the per-track values sum to
+        # the objective (a custom non-additive callable falls back to
+        # one extra objective() evaluation)
+        errs, out = self.per_track_errors(vals)
+        err = (float(errs.sum()) if isinstance(self.error, str)
+               else self.objective(vals, test=True))
+        label = self.error if isinstance(self.error, str) else "error"
         if self.verbose:
-            errs, _ = self.per_track_errors(vals)
             for j, e in enumerate(errs):
-                print(f"    test track {j}: SSE {e:.4f} "
+                print(f"    test track {j}: {label} {e:.4f} "
                       f"({int(self.test_data.lengths[j])} steps)")
-            print(f"    SSE: {err:.4f}")
+            print(f"    {label}: {err:.4f}")
         if not plot:
             return err
         import matplotlib.pyplot as plt
 
         data = self.test_data
-        _, out = self.per_track_errors(vals)
         k = len(data)
         feats = tuple(self.objective_features)
         if axes is None:

@@ -115,7 +115,14 @@ def _pole_features(params, state, v, n, gate=None):
     rt = params.polemodel_rt
     cur = state.dyn_gains[:, _PF]
     budget = int(getattr(params, "br_resample_budget", 0) or 0)
-    if budget and budget < n and gate is not None:
+    every = int(getattr(params, "br_resample_every", 1) or 1)
+    # branch selection must depend ONLY on the params (never on n):
+    # a sharded trace sees the LOCAL shard size, so an n-dependent
+    # branch would make sharded and single-device runs take different
+    # paths (divergent physics with a non-binding budget). The budget
+    # is therefore clamped per trace (min(budget, n)) instead of
+    # falling back to the dense path when it exceeds n.
+    if gate is not None and budget:
         # (gate is None only in init_gains, where EVERY agent draws its
         # first features -- the budget must not truncate initialization)
         # COMPACTED path: the hysteresis gate admits only a trickle of
@@ -128,15 +135,17 @@ def _pole_features(params, state, v, n, gate=None):
         # beyond the budget stay un-updated and therefore still needy --
         # they are picked up on following steps (index-ordered), a
         # deferral the speed-hysteresis semantics absorb.
+        b = min(budget, n)
+
         def resample(cur, v_last):
             # compaction via cumsum + positional scatter: measurably
             # cheaper than jnp.nonzero(size=...) on TPU (0.63 vs 0.99
             # ms/call at N = 1e5, b = 2048 -- the nonzero was the
             # single largest stochastic-body op)
             pos = jnp.cumsum(need.astype(jnp.int32)) - 1
-            tgt = jnp.where(need & (pos < budget), pos, budget)
-            idx = jnp.full((budget + 1,), n, jnp.int32).at[tgt].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget]
+            tgt = jnp.where(need & (pos < b), pos, b)
+            idx = jnp.full((b + 1,), n, jnp.int32).at[tgt].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")[:b]
             safe = jnp.minimum(idx, n - 1)
             v_sub = v[safe]
             # fold the per-agent keys for the COMPACTED subset only:
@@ -149,25 +158,26 @@ def _pole_features(params, state, v, n, gate=None):
             return (cur.at[idx].set(sampled_sub, mode="drop"),
                     v_last.at[idx].set(v_sub, mode="drop"))
 
-        every = int(getattr(params, "br_resample_every", 1) or 1)
-        if every > 1:
-            # resampling CADENCE (params.create resample_every=K): run
-            # the compact-sample-scatter machinery only every K-th
-            # global step. The speed-hysteresis semantics absorb the
-            # extra <=(K-1)-step deferral exactly like the budget's
-            # (reference resampling is itself hysteresis-gated,
-            # parameters.py:1397-1411); gating on t_glob keeps runs
-            # bit-identical under sharding/permutation.
-            feats, v_last = jax.lax.cond(
-                state.t_glob % every == 0, resample,
-                lambda cur, v_last: (cur, v_last), cur, v_last)
-        else:
-            feats, v_last = resample(cur, v_last)
     else:
-        keys = agent_streams(state.key, state.t_glob, state.uid, salt)
-        sampled, _ = rt.sample_features_batch(keys, v)
-        feats = jnp.where(need[:, None], sampled, cur)
-        v_last = jnp.where(need, v, v_last)
+        def resample(cur, v_last):
+            keys = agent_streams(state.key, state.t_glob, state.uid,
+                                 salt)
+            sampled, _ = rt.sample_features_batch(keys, v)
+            return (jnp.where(need[:, None], sampled, cur),
+                    jnp.where(need, v, v_last))
+
+    if every > 1 and gate is not None:
+        # resampling CADENCE (params.create resample_every=K): run the
+        # resampler (compacted or dense) only every K-th global step.
+        # The speed-hysteresis semantics absorb the extra <=(K-1)-step
+        # deferral exactly like the budget's (reference resampling is
+        # itself hysteresis-gated, parameters.py:1397-1411); gating on
+        # t_glob keeps runs bit-identical under sharding/permutation.
+        feats, v_last = jax.lax.cond(
+            state.t_glob % every == 0, resample,
+            lambda cur, v_last: (cur, v_last), cur, v_last)
+    else:
+        feats, v_last = resample(cur, v_last)
     dg = state.dyn_gains.at[:, _PF].set(feats).at[:, _VLAST].set(v_last)
     return feats, state.replace(dyn_gains=dg)
 
@@ -252,13 +262,8 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         T_roll = b_roll * _bcast(params, "T_dist_roll", n)
         T_steer = b_steer * _bcast(params, "T_dist_steer", n)
     else:
-        import os as _os
-        if _os.environ.get("CSF_NCDIST"):   # TEMP probe: non-constant 0
-            T_roll = s[:, V] * dtype.type(0.0)
-            T_steer = s[:, V] * dtype.type(0.0)
-        else:
-            T_roll = jnp.zeros((n,), dtype=dtype)
-            T_steer = jnp.zeros((n,), dtype=dtype)
+        T_roll = jnp.zeros((n,), dtype=dtype)
+        T_steer = jnp.zeros((n,), dtype=dtype)
 
     if getattr(params, "br_prop_lut", None) is not None:
         # ---- tabulated midpoint PROPAGATOR (deterministic perf mode,

@@ -593,11 +593,10 @@ class BalancingRiderParams(BicycleParams):
     p_dist_steer: Any = 0.0
     T_dist_roll: Any = 9000.0
     T_dist_steer: Any = 1000.0
-    # STATIC "any disturbance probability nonzero" flag, set by create():
-    # lets the compiled step skip the per-agent Bernoulli draws entirely
-    # in the (default) deterministic case instead of drawing against
-    # p = 0. Caveat: replace(p_dist_*=...) does not refresh it -- set
-    # disturbance probabilities through create().
+    # STATIC "any disturbance probability nonzero" flag, set by create()
+    # and kept fresh by the replace() override below: lets the compiled
+    # step skip the per-agent Bernoulli draws entirely in the (default)
+    # deterministic case instead of drawing against p = 0.
     br_disturb: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
@@ -853,6 +852,33 @@ class BalancingRiderParams(BicycleParams):
             T_dist_roll=T_dist_roll, T_dist_steer=T_dist_steer,
             br_disturb=bool(np.any(np.asarray(p_dist_roll))
                             or np.any(np.asarray(p_dist_steer))), **kw)
+
+
+# Keep the static br_disturb flag consistent when disturbance
+# probabilities change through replace() (e.g. a calibration fitting
+# p_dist_*): concrete values refresh the flag; traced values
+# conservatively enable the draws (numerically correct -- the drawn
+# Bernoullis are compared against the traced p -- just without the
+# static skip). Installed after class creation because the flax struct
+# transform overwrites `replace` defined in the class body.
+_flax_br_replace = BalancingRiderParams.replace
+
+
+def _br_replace(self, **changes):
+    out = _flax_br_replace(self, **changes)
+    if (("p_dist_roll" in changes or "p_dist_steer" in changes)
+            and "br_disturb" not in changes):
+        try:
+            flag = bool(np.any(np.asarray(out.p_dist_roll))
+                        or np.any(np.asarray(out.p_dist_steer)))
+        except Exception:  # noqa: BLE001 - traced: keep draws on
+            flag = True
+        out = _flax_br_replace(out, br_disturb=flag)
+    return out
+
+
+_br_replace.__doc__ = _flax_br_replace.__doc__
+BalancingRiderParams.replace = _br_replace
 
 
 class RoadElementParams(struct.PyTreeNode):

@@ -211,15 +211,6 @@ def agent_streams(key, t_glob, uid, salt: int):
     split chains inside a scan -- was the round-2 30 ms/step trap; a
     vmapped fold_in is one vectorized pass).
     """
-    import os
-    if os.environ.get("CSF_FASTHASH"):     # TEMP probe: loop-free mix
-        k0 = key[0] ^ jnp.uint32(salt)
-        k1 = key[1] ^ t_glob.astype(jnp.uint32)
-        u = uid.astype(jnp.uint32)
-        a = (u * jnp.uint32(0x9E3779B9)) ^ k0
-        b = ((u << 13) | (u >> 19)) ^ k1
-        a = a + b; b = ((b << 17) | (b >> 15)) ^ a
-        return jnp.stack([a, b], axis=1)
     ks = jax.random.fold_in(jax.random.fold_in(key, salt), t_glob)
     # fence the folded keys: XLA otherwise fuses the vmapped threefry
     # chain into every downstream consumer, which re-schedules large

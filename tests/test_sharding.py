@@ -568,6 +568,35 @@ def test_sharded_flagship_resample_cadence_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_flagship_budget_exceeding_local_shard():
+    """Regression (round-4 review): resample_budget BETWEEN the local
+    shard size and the global N must not change the code path -- the
+    budget is clamped per trace (min(budget, n)), never silently
+    switched to the dense (cadence-ignoring) branch. Pre-fix, each
+    shard took the dense ungated path while the single-device run took
+    the compacted lax.cond-gated one: divergent physics."""
+    from cyclistsocialforce_tpu.models import MODELS, prepare
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 16 * n_dev
+    p, m, st = _setup_flagship(n)
+    p = BalancingRiderParams.create(
+        stochastic_control_behavior=True,
+        resample_budget=16 * n_dev // 2,   # > n_local (16), < n
+        resample_every=3, verbose=False)
+    st = prepare(MODELS["balancingrider"], p, st)
+    eng = _flagship_engine(p, m)
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, 30, record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, 30, record=False)
+    out, _ = run(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
 def test_sharded_flagship_halo_stochastic_matches_single_device():
     """Stochastic flagship through the halo-exchange culled schedule:
     the reshard permutes rows across devices every rebuild chunk -- the
