@@ -265,6 +265,44 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         T_roll = jnp.zeros((n,), dtype=dtype)
         T_steer = jnp.zeros((n,), dtype=dtype)
 
+    if getattr(params, "br_prop_poly", None) is not None:
+        # ---- GATHER-FREE piecewise-quintic midpoint PROPAGATOR
+        # (deterministic perf mode, params.create prop_poly=S): the
+        # same 40 [P | Q | R | K] entries as the prop_lut branch below,
+        # but evaluated from STATIC per-segment coefficients (program
+        # literals, ops/piecewise.eval_piecewise_poly matmul form) --
+        # no HBM table, no per-row gathers, which is exactly what made
+        # the LUT propagator a net loss. Below-band speeds (v < 2 m/s)
+        # clamp to the band edge like gains_poly (pinned by
+        # tests/test_gains_lut.py); same K(v_mid)-every-step semantics
+        # as prop_lut.
+        from cyclistsocialforce_tpu.ops.piecewise import \
+            eval_piecewise_poly
+
+        # select form, NO barrier: each evaluated row has <= 6
+        # consumers in the matvec below, so fusion is benign here
+        # (measured 5.95 ms/step unfenced vs 6.05 fenced vs 6.50
+        # matmul-form at N = 1e5) -- unlike the stochastic ack-poly
+        # branch, where the re-materialization cliff required a fence.
+        # MEASURED NET: a LOSS vs gains_poly (16.8M vs 21.2M
+        # agent-steps/s): the exact 5x5 solve chain this replaces is
+        # nearly free on the VPU while the 40-entry piecewise eval is
+        # not (same lesson as prop_lut, BASELINE.md round 4). Kept as
+        # an option for hosts with expensive batched small solves.
+        cols = eval_piecewise_poly(params.br_prop_poly, v_mid, 40,
+                                   form="select")
+        rt = jnp.stack(cols)                               # [40, N]
+        u = rt[39] * psi_c + T_steer                       # K[4] == K_u
+        xs = [state.dyn_x[:, j] for j in range(5)]
+        x5n = [sum(rt[5 * i + j] * xs[j] for j in range(5))
+               + rt[25 + i] * u + rt[30 + i] * T_roll
+               for i in range(5)]
+        psi_mid = (xs[4] + x5n[4]) / 2.0
+        px = state.dyn_x[:, 5] + t_s * v_mid * jnp.cos(psi_mid)
+        py = state.dyn_x[:, 6] + t_s * v_mid * jnp.sin(psi_mid)
+        dyn_x = jnp.stack(x5n + [px, py], axis=1)
+        return _finish(state, dyn_x, v_new, rt[35:40].T)
+
     if getattr(params, "br_prop_lut", None) is not None:
         # ---- tabulated midpoint PROPAGATOR (deterministic perf mode,
         # params.create prop_lut=G): the whole closed-loop update

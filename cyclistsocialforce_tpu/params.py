@@ -564,6 +564,17 @@ class BalancingRiderParams(BicycleParams):
     # a broadcast 5x5 matvec (see the step() prop branch). Built with the
     # create()-time t_s; stale if t_s is later replaced.
     br_prop_lut: Any = None
+    # Optional GATHER-FREE piecewise-quintic midpoint PROPAGATOR
+    # (create prop_poly=S, deterministic mode only): the same 40
+    # [P | Q | R | K] entries as br_prop_lut, fitted per speed segment
+    # on the smooth band [GAINS_POLY_V_LO, v_hi] with the coefficients
+    # baked into the program as literals (STATIC field) -- no HBM
+    # table, no per-agent row gathers (the two br_prop_lut row gathers
+    # are what made the LUT propagator a net loss, BASELINE.md
+    # "Negative result: tabulated midpoint propagator"). Below-band
+    # speeds clamp to the band edge like br_gains_poly. Built with the
+    # create()-time t_s; stale if t_s is later replaced.
+    br_prop_poly: Any = struct.field(pytree_node=False, default=None)
     # Fields that describe the (single) physical bicycle / behavior model
     # and stay shared across the population in `as_population`.
     POPULATION_SHARED = ("br_A0", "br_A1", "br_A2", "br_B", "br_B_roll",
@@ -608,7 +619,8 @@ class BalancingRiderParams(BicycleParams):
                controlparam_polemodel_component=0,
                p_dist_roll=0.0, p_dist_steer=0.0,
                T_dist_roll=9000.0, T_dist_steer=1000.0,
-               gains_lut=0, prop_lut=0, gains_poly=0, resample_budget=0,
+               gains_lut=0, prop_lut=0, prop_poly=0, gains_poly=0,
+               resample_budget=0,
                resample_every=1,
                calib_mode=False, verbose=True, **kw):
         from cyclistsocialforce_tpu import behavior
@@ -731,52 +743,75 @@ class BalancingRiderParams(BicycleParams):
         # comment): deterministic mode only -- the stochastic model's
         # per-agent pole features make Acl(v) agent-dependent
         plut = None
-        if prop_lut:
+        prop_pl = None
+        if prop_lut or prop_poly:
             if stochastic_control_behavior:
                 raise ValueError(
-                    "prop_lut tabulates the closed-loop midpoint "
-                    "propagator over speed alone; with stochastic "
-                    "control behavior Acl depends on per-agent pole "
-                    "features (use gains_lut for the Ackermann-basis "
-                    "table instead)")
+                    "prop_lut/prop_poly express the closed-loop "
+                    "midpoint propagator over speed alone; with "
+                    "stochastic control behavior Acl depends on "
+                    "per-agent pole features (use gains_lut/gains_poly "
+                    "for the Ackermann-basis forms instead)")
+            h_ts = float(np.asarray(kw.get("t_s", cls.t_s)))
+
+            def _prop_rows(vs_p, repair):
+                gp = len(vs_p)
+                if gains_fixed is not None:
+                    Kg = np.broadcast_to(
+                        np.asarray(gains_fixed, dtype=float),
+                        (gp, 5)).copy()
+                else:
+                    import jax
+                    import jax.numpy as jnp
+
+                    from cyclistsocialforce_tpu.ops.control import (
+                        ackermann, charpoly_from_pole_features)
+
+                    def k_at_p(v):
+                        feats = (jnp.asarray(pole_lin)[:, 0]
+                                 + jnp.asarray(pole_lin)[:, 1] * v)
+                        Av = (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
+                              + v * v * jnp.asarray(A2))
+                        return ackermann(Av, jnp.asarray(B),
+                                         charpoly_from_pole_features(feats))
+
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        Kg = np.array(jax.vmap(k_at_p)(jnp.asarray(vs_p)))
+                    if repair:
+                        Kg = _repair_lut_rows(Kg)
+                Av = (A0[None] + vs_p[:, None, None] * A1[None]
+                      + (vs_p ** 2)[:, None, None] * A2[None])
+                Acl = Av - B[None, :, None] * Kg[:, None, :]
+                eye = np.eye(5)[None]
+                Minv = np.linalg.inv(eye - (h_ts / 2.0) * Acl)
+                Pm = Minv @ (eye + (h_ts / 2.0) * Acl)
+                Qv = Minv @ (h_ts * B)
+                Rv = Minv @ (h_ts * B_roll)
+                return np.concatenate(
+                    [Pm.reshape(gp, 25), Qv, Rv, Kg], axis=1)
+
+        if prop_lut:
             vmr = kw.get("v_max_riding", cls.v_max_riding)
             v_lo, v_hi = float(pair_lo(vmr)), float(pair_hi(vmr))
             gp = int(prop_lut)
             vs_p = np.linspace(v_lo, v_hi, gp)
-            h_ts = float(np.asarray(kw.get("t_s", cls.t_s)))
-            if gains_fixed is not None:
-                Kg = np.broadcast_to(np.asarray(gains_fixed, dtype=float),
-                                     (gp, 5)).copy()
-            else:
-                import jax
-                import jax.numpy as jnp
-
-                from cyclistsocialforce_tpu.ops.control import (
-                    ackermann, charpoly_from_pole_features)
-
-                def k_at_p(v):
-                    feats = (jnp.asarray(pole_lin)[:, 0]
-                             + jnp.asarray(pole_lin)[:, 1] * v)
-                    Av = (jnp.asarray(A0 + 0.0) + v * jnp.asarray(A1)
-                          + v * v * jnp.asarray(A2))
-                    return ackermann(Av, jnp.asarray(B),
-                                     charpoly_from_pole_features(feats))
-
-                with jax.default_device(jax.devices("cpu")[0]):
-                    Kg = np.array(jax.vmap(k_at_p)(jnp.asarray(vs_p)))
-                Kg = _repair_lut_rows(Kg)
-            Av = (A0[None] + vs_p[:, None, None] * A1[None]
-                  + (vs_p ** 2)[:, None, None] * A2[None])
-            Acl = Av - B[None, :, None] * Kg[:, None, :]
-            eye = np.eye(5)[None]
-            Minv = np.linalg.inv(eye - (h_ts / 2.0) * Acl)
-            Pm = Minv @ (eye + (h_ts / 2.0) * Acl)
-            Qv = Minv @ (h_ts * B)
-            Rv = Minv @ (h_ts * B_roll)
-            rows = np.concatenate(
-                [Pm.reshape(gp, 25), Qv, Rv, Kg], axis=1)
-            plut = (_repair_lut_rows(rows), np.float64(v_lo),
+            plut = (_repair_lut_rows(_prop_rows(vs_p, repair=True)),
+                    np.float64(v_lo),
                     np.float64((v_hi - v_lo) / (gp - 1)))
+        if prop_poly:
+            from cyclistsocialforce_tpu.ops.piecewise import \
+                fit_piecewise_poly
+
+            vmr = kw.get("v_max_riding", cls.v_max_riding)
+            v_hi = float(pair_hi(vmr))
+            v_lo = float(cls.GAINS_POLY_V_LO)
+            if v_hi <= v_lo:
+                raise ValueError(
+                    f"prop_poly needs v_max_riding > {v_lo} m/s (the "
+                    f"K(v) pole at v ~ 1.25 bounds the fit band)")
+            prop_pl = fit_piecewise_poly(
+                lambda vs: _prop_rows(np.asarray(vs), repair=False),
+                v_lo, v_hi, int(prop_poly))
 
         # optional GATHER-FREE piecewise-polynomial gain schedules (see
         # the br_gains_poly / br_ackermann_poly field comments):
@@ -840,6 +875,7 @@ class BalancingRiderParams(BicycleParams):
             br_A0=A0, br_A1=A1, br_A2=A2, br_B=B, br_B_roll=B_roll,
             br_pole_lin=pole_lin, br_gains_fixed=gains_fixed,
             br_gains_lut=lut, br_ackermann_lut=ack_lut, br_prop_lut=plut,
+            br_prop_poly=prop_pl,
             br_gains_poly=poly, br_ackermann_poly=ack_poly,
             stochastic_control_behavior=bool(stochastic_control_behavior),
             controlparam_resampling_speedthresh=(

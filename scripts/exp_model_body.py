@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="keep the pair stage (the full bench row)")
     ap.add_argument("--gains", default="lut",
-                    choices=("lut", "fixed", "exact", "poly"),
+                    choices=("lut", "fixed", "exact", "poly", "proppoly"),
                     help="balancingrider gain source (ablate the LUT "
                          "gather: 'fixed' = constant K, no gather)")
     ap.add_argument("--zoh", default="lut", choices=("lut", "poly", "exact"),
@@ -83,6 +83,7 @@ def main():
         gkw = {"lut": dict(gains_lut=4096),
                "fixed": dict(gains=[-13.14, 1.10, -6.69, -0.11, -11.38]),
                "poly": dict(gains_poly=16),
+               "proppoly": dict(prop_poly=16),
                "exact": {}}[args.gains]
         params = BalancingRiderParams.create(verbose=False, **gkw)
         model, sr = MODELS["balancingrider"], True

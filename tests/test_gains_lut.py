@@ -309,6 +309,46 @@ def test_prop_lut_rejects_stochastic_mode():
     with pytest.raises(ValueError, match="prop_lut"):
         BalancingRiderParams.create(prop_lut=256, verbose=False,
                                     stochastic_control_behavior=True)
+    with pytest.raises(ValueError, match="prop"):
+        BalancingRiderParams.create(prop_poly=16, verbose=False,
+                                    stochastic_control_behavior=True)
+
+
+def test_prop_poly_trajectories_match_exact():
+    """End-to-end: the GATHER-FREE piecewise-quintic propagator
+    (prop_poly=S, program-literal coefficients) stays on the exact
+    path's trajectory within the band, like prop_lut; it is also a
+    STATIC field (no pytree leaves), so it compiles to constants."""
+    rng = np.random.default_rng(11)
+    n = 64
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 80, n)
+    s0[:, 1] = rng.uniform(0, 80, n)
+    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    dst = np.zeros((n, 3))
+    dst[:, 0] = s0[:, 0] + 100
+    dst[:, 1] = s0[:, 1]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["balancingrider"]
+    finals = {}
+    for tag, p in (("exact", BalancingRiderParams.create(verbose=False)),
+                   ("prop", BalancingRiderParams.create(prop_poly=16,
+                                                        verbose=False))):
+        pp = as_population(p, n)
+        eng = Engine.create(pp, m)
+        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
+            m.prepare(pp, st))
+        finals[tag] = np.asarray(f.s)
+    dev = np.max(np.abs(finals["prop"][:, :2] - finals["exact"][:, :2]))
+    assert dev < 1e-3, dev
+    # static field: zero pytree leaves added by the poly
+    import jax as _jax
+    p = BalancingRiderParams.create(prop_poly=16, verbose=False)
+    q = BalancingRiderParams.create(verbose=False)
+    assert len(_jax.tree.leaves(p)) == len(_jax.tree.leaves(q))
 
 
 def test_prop_lut_shared_across_population():
