@@ -222,6 +222,24 @@ def prepare(params, state: AgentState) -> AgentState:
     return init_gains(params, state.replace(dyn_x=dyn_x, dyn_v=s[:, V]))
 
 
+def _prop_apply(state, rt, psi_c, T_roll, T_steer, v_mid, t_s, v_new):
+    """Apply a [40, N] propagator-row stack (the [P | Q | R | K] layout
+    shared by the prop_lut and prop_poly branches): unrolled SoA matvec
+    on [N] rows -- neither dot_general (serializes, ops/smallmat.py
+    rationale) nor [N, 5, 5] broadcast temps (lane-pad 5 -> 128
+    resident in HBM) -- then the explicit midpoint position update."""
+    u = rt[39] * psi_c + T_steer                       # K[4] == K_u
+    xs = [state.dyn_x[:, j] for j in range(5)]
+    x5n = [sum(rt[5 * i + j] * xs[j] for j in range(5))
+           + rt[25 + i] * u + rt[30 + i] * T_roll
+           for i in range(5)]
+    psi_mid = (xs[4] + x5n[4]) / 2.0
+    px = state.dyn_x[:, 5] + t_s * v_mid * jnp.cos(psi_mid)
+    py = state.dyn_x[:, 6] + t_s * v_mid * jnp.sin(psi_mid)
+    dyn_x = jnp.stack(x5n + [px, py], axis=1)
+    return _finish(state, dyn_x, v_new, rt[35:40].T)
+
+
 def step(params, state: AgentState, fx, fy) -> AgentState:
     """One balancing-rider step (reference dynamics.py:674-706)."""
     n = state.n
@@ -270,12 +288,17 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         # (deterministic perf mode, params.create prop_poly=S): the
         # same 40 [P | Q | R | K] entries as the prop_lut branch below,
         # but evaluated from STATIC per-segment coefficients (program
-        # literals, ops/piecewise.eval_piecewise_poly matmul form) --
+        # literals, ops/piecewise.eval_piecewise_poly SELECT form) --
         # no HBM table, no per-row gathers, which is exactly what made
-        # the LUT propagator a net loss. Below-band speeds (v < 2 m/s)
-        # clamp to the band edge like gains_poly (pinned by
-        # tests/test_gains_lut.py); same K(v_mid)-every-step semantics
-        # as prop_lut.
+        # the LUT propagator a net loss. CAUTION -- below-band speeds
+        # (v_mid < 2 m/s) clamp the WHOLE propagator (P, Q, R incl. the
+        # open-loop A(v) yaw coupling) to the band edge: a stronger
+        # deviation than gains_poly, which clamps only K and keeps the
+        # exact A(v_mid). The clamped propagator is a fixed STABLE
+        # discrete system, so sub-band excursions stay bounded (pinned
+        # by tests/test_gains_lut.py below-band test), but congested
+        # sub-2 m/s traffic should prefer gains_poly/prop_lut. Same
+        # K(v_mid)-every-step semantics as prop_lut.
         from cyclistsocialforce_tpu.ops.piecewise import \
             eval_piecewise_poly
 
@@ -292,16 +315,8 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         cols = eval_piecewise_poly(params.br_prop_poly, v_mid, 40,
                                    form="select")
         rt = jnp.stack(cols)                               # [40, N]
-        u = rt[39] * psi_c + T_steer                       # K[4] == K_u
-        xs = [state.dyn_x[:, j] for j in range(5)]
-        x5n = [sum(rt[5 * i + j] * xs[j] for j in range(5))
-               + rt[25 + i] * u + rt[30 + i] * T_roll
-               for i in range(5)]
-        psi_mid = (xs[4] + x5n[4]) / 2.0
-        px = state.dyn_x[:, 5] + t_s * v_mid * jnp.cos(psi_mid)
-        py = state.dyn_x[:, 6] + t_s * v_mid * jnp.sin(psi_mid)
-        dyn_x = jnp.stack(x5n + [px, py], axis=1)
-        return _finish(state, dyn_x, v_new, rt[35:40].T)
+        return _prop_apply(state, rt, psi_c, T_roll, T_steer, v_mid,
+                           t_s, v_new)
 
     if getattr(params, "br_prop_lut", None) is not None:
         # ---- tabulated midpoint PROPAGATOR (deterministic perf mode,
@@ -339,19 +354,8 @@ def step(params, state: AgentState, fx, fy) -> AgentState:
         # the [40, N] transpose are contiguous [N] vectors (same trick
         # as engine.sorted_packs' receiver pack)
         rt = jax.lax.optimization_barrier(row.T)           # [40, N]
-        # unrolled SoA matvec on [N] rows: neither dot_general
-        # (serializes, ops/smallmat.py rationale) nor [N, 5, 5]
-        # broadcast temps (lane-pad 5 -> 128 resident in HBM)
-        u = rt[39] * psi_c + T_steer                       # K[4] == K_u
-        xs = [state.dyn_x[:, j] for j in range(5)]
-        x5n = [sum(rt[5 * i + j] * xs[j] for j in range(5))
-               + rt[25 + i] * u + rt[30 + i] * T_roll
-               for i in range(5)]
-        psi_mid = (xs[4] + x5n[4]) / 2.0
-        px = state.dyn_x[:, 5] + t_s * v_mid * jnp.cos(psi_mid)
-        py = state.dyn_x[:, 6] + t_s * v_mid * jnp.sin(psi_mid)
-        dyn_x = jnp.stack(x5n + [px, py], axis=1)
-        return _finish(state, dyn_x, v_new, rt[35:40].T)
+        return _prop_apply(state, rt, psi_c, T_roll, T_steer, v_mid,
+                           t_s, v_new)
 
     # ---- gains: recompute only where the speed changed, else keep the
     # cache (reference dynamics.py:680-681)

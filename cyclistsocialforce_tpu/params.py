@@ -744,6 +744,11 @@ class BalancingRiderParams(BicycleParams):
         # per-agent pole features make Acl(v) agent-dependent
         plut = None
         prop_pl = None
+        if prop_lut and prop_poly:
+            raise ValueError(
+                "prop_lut and prop_poly are alternative propagator "
+                "modes -- pass one (step() would silently prefer "
+                "prop_poly)")
         if prop_lut or prop_poly:
             if stochastic_control_behavior:
                 raise ValueError(

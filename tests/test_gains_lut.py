@@ -271,11 +271,16 @@ def test_prop_lut_rows_match_direct_construction():
 
 
 @pytest.mark.slow
-def test_prop_lut_trajectories_match_exact():
-    """End-to-end: the tabulated-propagator path stays on the exact
-    path's trajectory (the table folds in BOTH the K(v) interpolation
-    and the dropped stale-gain quirk; measured deviation ~7e-6 m over
-    300 steps in isolation, sub-0.1 mm here over a 200-step simulate)."""
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", [dict(prop_lut=4096), dict(prop_poly=16)])
+def test_prop_trajectories_match_exact(mode):
+    """End-to-end: both propagator modes (tabulated prop_lut and the
+    gather-free piecewise-quintic prop_poly) stay on the exact path's
+    trajectory within the band (the propagator folds in BOTH the K(v)
+    interpolation and the dropped stale-gain quirk; measured deviation
+    ~7e-6 m over 300 steps in isolation, sub-0.1 mm here over a
+    200-step simulate). prop_poly is additionally a STATIC field (no
+    pytree leaves), so it compiles to constants."""
     rng = np.random.default_rng(11)
     n = 64
     s0 = np.zeros((n, 5))
@@ -291,9 +296,9 @@ def test_prop_lut_trajectories_match_exact():
                     destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
     m = MODELS["balancingrider"]
     finals = {}
-    for tag, p in (("exact", BalancingRiderParams.create(verbose=False)),
-                   ("prop", BalancingRiderParams.create(prop_lut=4096,
-                                                        verbose=False))):
+    p_exact = BalancingRiderParams.create(verbose=False)
+    p_prop = BalancingRiderParams.create(verbose=False, **mode)
+    for tag, p in (("exact", p_exact), ("prop", p_prop)):
         pp = as_population(p, n)
         eng = Engine.create(pp, m)
         f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
@@ -301,54 +306,51 @@ def test_prop_lut_trajectories_match_exact():
         finals[tag] = np.asarray(f.s)
     dev = np.max(np.abs(finals["prop"][:, :2] - finals["exact"][:, :2]))
     assert dev < 1e-3, dev
+    if "prop_poly" in mode:
+        # static field: zero pytree leaves added by the poly
+        assert len(jax.tree.leaves(p_prop)) == len(jax.tree.leaves(p_exact))
+
+
+def test_prop_poly_below_band_stays_stable():
+    """prop_poly clamps the WHOLE propagator (incl. the open-loop A(v)
+    yaw coupling) at the band edge for v_mid < 2 m/s -- a stronger
+    deviation than gains_poly (documented in the step branch). The
+    clamped propagator is a fixed stable discrete system: sub-band
+    excursions must stay finite with bounded roll."""
+    n = 16
+    rng = np.random.default_rng(3)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 40, n)
+    s0[:, 1] = rng.uniform(0, 40, n)
+    s0[:, 3] = rng.uniform(0.5, 1.5, n)    # below the fit band
+    st = make_state(s0, dtype=np.float64)
+    dst = np.c_[s0[:, 0] + 60, s0[:, 1], np.zeros(n)]
+    st = st.replace(dest=jnp.asarray(dst),
+                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
+    m = MODELS["balancingrider"]
+    pp = as_population(BalancingRiderParams.create(prop_poly=16,
+                                                   verbose=False), n)
+    eng = Engine.create(pp, m)
+    f, traj = jax.jit(lambda s: eng.simulate(s, 300))(m.prepare(pp, st))
+    traj = np.asarray(traj)
+    assert np.all(np.isfinite(traj))
+    assert np.max(np.abs(traj[:, :, 5])) < np.pi / 3   # roll bounded
 
 
 def test_prop_lut_rejects_stochastic_mode():
     """Acl depends on per-agent pole features in stochastic mode -- a
-    speed-only propagator table would be wrong, so create() refuses."""
-    with pytest.raises(ValueError, match="prop_lut"):
+    speed-only propagator table would be wrong, so create() refuses;
+    passing BOTH propagator modes is also refused (step() would
+    silently prefer prop_poly)."""
+    with pytest.raises(ValueError, match="prop"):
         BalancingRiderParams.create(prop_lut=256, verbose=False,
                                     stochastic_control_behavior=True)
     with pytest.raises(ValueError, match="prop"):
         BalancingRiderParams.create(prop_poly=16, verbose=False,
                                     stochastic_control_behavior=True)
-
-
-def test_prop_poly_trajectories_match_exact():
-    """End-to-end: the GATHER-FREE piecewise-quintic propagator
-    (prop_poly=S, program-literal coefficients) stays on the exact
-    path's trajectory within the band, like prop_lut; it is also a
-    STATIC field (no pytree leaves), so it compiles to constants."""
-    rng = np.random.default_rng(11)
-    n = 64
-    s0 = np.zeros((n, 5))
-    s0[:, 0] = rng.uniform(0, 80, n)
-    s0[:, 1] = rng.uniform(0, 80, n)
-    s0[:, 2] = rng.uniform(-0.3, 0.3, n)
-    s0[:, 3] = rng.uniform(4, 6, n)
-    st = make_state(s0, dtype=np.float64)
-    dst = np.zeros((n, 3))
-    dst[:, 0] = s0[:, 0] + 100
-    dst[:, 1] = s0[:, 1]
-    st = st.replace(dest=jnp.asarray(dst),
-                    destqueue=st.destqueue.at[:, 0, :].set(jnp.asarray(dst)))
-    m = MODELS["balancingrider"]
-    finals = {}
-    for tag, p in (("exact", BalancingRiderParams.create(verbose=False)),
-                   ("prop", BalancingRiderParams.create(prop_poly=16,
-                                                        verbose=False))):
-        pp = as_population(p, n)
-        eng = Engine.create(pp, m)
-        f, _ = jax.jit(lambda s, e=eng: e.simulate(s, 200, record=False))(
-            m.prepare(pp, st))
-        finals[tag] = np.asarray(f.s)
-    dev = np.max(np.abs(finals["prop"][:, :2] - finals["exact"][:, :2]))
-    assert dev < 1e-3, dev
-    # static field: zero pytree leaves added by the poly
-    import jax as _jax
-    p = BalancingRiderParams.create(prop_poly=16, verbose=False)
-    q = BalancingRiderParams.create(verbose=False)
-    assert len(_jax.tree.leaves(p)) == len(_jax.tree.leaves(q))
+    with pytest.raises(ValueError, match="alternative"):
+        BalancingRiderParams.create(prop_lut=256, prop_poly=16,
+                                    verbose=False)
 
 
 def test_prop_lut_shared_across_population():
