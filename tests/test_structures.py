@@ -69,3 +69,34 @@ def test_validate_boolean_indicators():
         validate_boolean_indicators([0, 5], "sel", "X", 3)
     with pytest.raises(ValueError):
         validate_boolean_indicators([0.5, 1.0], "sel", "X", 3)
+
+
+def test_agent_streams_invariance_contract():
+    """state.agent_streams is the primitive behind every stochastic
+    draw's layout invariance: per-agent keys are a pure function of
+    (master key, t_glob, uid, salt) -- permutation-equivariant in uid,
+    and distinct across steps, salts, and master keys."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cyclistsocialforce_tpu.state import agent_streams
+
+    key = jax.random.PRNGKey(7)
+    uid = jnp.arange(16, dtype=jnp.int32)
+    t = jnp.asarray(3, jnp.int32)
+    k0 = np.asarray(agent_streams(key, t, uid, 2))
+
+    # permutation equivariance: keys follow the uid through any reorder
+    perm = np.asarray([5, 0, 11, 3, 15, 8, 1, 2, 9, 4, 6, 7, 10, 12,
+                       13, 14])
+    kp = np.asarray(agent_streams(key, t, uid[perm], 2))
+    np.testing.assert_array_equal(kp, k0[perm])
+
+    # distinct across steps, salts, master keys, and agents
+    k_t = np.asarray(agent_streams(key, t + 1, uid, 2))
+    k_s = np.asarray(agent_streams(key, t, uid, 3))
+    k_m = np.asarray(agent_streams(jax.random.PRNGKey(8), t, uid, 2))
+    for other in (k_t, k_s, k_m):
+        assert not np.any(np.all(other == k0, axis=1))
+    assert len({tuple(r) for r in k0}) == 16
