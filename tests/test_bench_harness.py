@@ -62,3 +62,21 @@ def test_budget_exhaustion_still_emits_final_line():
     assert len(lines) == 1
     assert lines[-1]["value"] == 0.0
     assert "skipped (wall-clock budget exhausted" in r.stderr
+
+
+def test_headline_retime_keeps_best_capture():
+    # end-of-run fresh-process re-time measures FASTER -> it wins, and
+    # the final line carries the improved value (round-4 weakness #1)
+    r, lines = run_harness("retime", budget=600)
+    assert r.returncode == 0
+    assert "re-timing headline in a fresh subprocess" in r.stderr
+    assert lines[-1]["value"] == 150.0
+
+
+def test_headline_retime_slower_keeps_earlier_capture():
+    # re-time lands on a slow tunnel session -> the earlier, faster
+    # capture must survive as the final line (best-of, never last-of)
+    r, lines = run_harness("retimelow", budget=600)
+    assert r.returncode == 0
+    assert "keeping 100.0" in r.stderr
+    assert lines[-1]["value"] == 100.0
