@@ -46,7 +46,9 @@ def state_merge(state: AgentState, lo: int, hi: int,
     upd = {f: getattr(state, f).at[lo:hi].set(
                getattr(sub, f).astype(getattr(state, f).dtype))
            for f in _SLICE_FIELDS}
-    return state.replace(**upd, key=sub.key)
+    # the master PRNG key stays GLOBAL and CONSTANT (state.py
+    # contract): a group's derived sub-key must not leak back
+    return state.replace(**upd)
 
 
 class ModelGroup(struct.PyTreeNode):
@@ -316,11 +318,16 @@ class MixedEngine(struct.PyTreeNode):
         fx, fy, state = self.calc_forces(state, nbr_cache)
         for gi, g in enumerate(self.groups):
             sub = state_slice(state, g.lo, g.hi)
+            # static per-group salt folded into the CONSTANT master key:
+            # each group's agent_streams draws stay pure functions of
+            # (master key, group index, t_glob, uid) -- the same
+            # layout-invariant reproducible-replay property homogeneous
+            # Engine runs have (state.py agent_streams contract). The
+            # master key itself is never split or advanced.
             sub = sub.replace(key=jax.random.fold_in(state.key, gi))
             new = g.model_step(g.params, sub, fx[g.lo:g.hi],
                                fy[g.lo:g.hi])
             state = state_merge(state, g.lo, g.hi, new)
-        state = state.replace(key=jax.random.split(before.key)[0])
         helper = eng.Engine(params=None, model_step=None,
                             scripted=self.scripted)
         return helper.finish_step(before, state)

@@ -271,7 +271,6 @@ def test_prop_lut_rows_match_direct_construction():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 @pytest.mark.parametrize("mode", [dict(prop_lut=4096), dict(prop_poly=16)])
 def test_prop_trajectories_match_exact(mode):
     """End-to-end: both propagator modes (tabulated prop_lut and the
