@@ -85,7 +85,8 @@ def main():
 
     matplotlib.use("Agg")
     _, fig = cal.test(plot=True, name="calibrated")
-    out_png = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+    import tempfile
+    out_png = os.path.join(tempfile.gettempdir(),
                            "calibration_test_overlay.png")
     fig.savefig(out_png, dpi=110)
     print(f"test-track overlay written to {out_png}")

@@ -15,6 +15,10 @@ DEMOS = [
     ["demos/demo_sumo.py", "--bikes", "2", "--steps", "800"],
     ["demos/demo_mixed_traffic.py", "--riders", "300", "--cars", "3",
      "--steps", "120"],
+    ["demos/demo_polemodel.py", "--model", "PP0",
+     "--out", "/tmp/demo_poles_smoke.png"],
+    ["demos/demo_scale.py", "--agents", "2048", "--steps", "20",
+     "--backend", "xla"],
 ]
 
 
