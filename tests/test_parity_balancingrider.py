@@ -169,3 +169,79 @@ def test_explicit_gains_mode():
                         200, v_desired=[4.5, 5.0, 5.0])[0]
     assert np.all(np.isfinite(traj))
     assert np.max(np.abs(traj[:, :, 5])) < np.pi / 3
+
+
+@pytest.mark.slow
+def test_stochastic_perf_semantics_distributionally_equivalent():
+    """The bench's relaxed stochastic semantics (resample_every=4 + a
+    budget sized at the average resample trickle) vs the reference's
+    EXACT semantics (immediate per-agent hysteresis, unlimited budget,
+    parameters.py:1376-1411): over a long horizon the relaxation must be
+    distributionally invisible -- KS tests on the resampled pole-feature
+    population and on the trajectory ensemble (final speeds / lateral
+    drift) cannot tell the two populations apart (VERDICT r4 item 3).
+
+    The two runs draw DIFFERENT random streams by construction (the
+    deferred agents resample at later t_glob), so this is a genuine
+    two-sample distribution comparison, not a bit-equality check."""
+    import jax
+    import jax.numpy as jnp
+    from scipy import stats
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.models import MODELS, balancingrider as BR
+    from cyclistsocialforce_tpu.models import prepare
+    from cyclistsocialforce_tpu.params import BalancingRiderParams
+
+    n, t_steps = 512, 400
+    rng = np.random.default_rng(7)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(0, 150, n)
+    s0[:, 1] = rng.uniform(0, 150, n)
+    s0[:, 2] = rng.uniform(-0.2, 0.2, n)
+    s0[:, 3] = rng.uniform(4, 6, n)
+
+    def run(every, budget):
+        p = BalancingRiderParams.create(
+            stochastic_control_behavior=True, resample_budget=budget,
+            resample_every=every,
+            # tighter hysteresis than the default: a steady resample
+            # trickle over the horizon (the regime the budget/cadence
+            # relaxation actually touches)
+            controlparam_resampling_speedthresh=0.3, verbose=False)
+        st = make_state(s0, dtype=np.float64, hist_len=8)
+        dst = np.c_[s0[:, 0] + 300, s0[:, 1] + rng.uniform(-5, 5, n),
+                    np.zeros(n)]
+        st = st.replace(dest=jnp.asarray(dst),
+                        destqueue=st.destqueue.at[:, 0, :].set(
+                            jnp.asarray(dst)))
+        m = MODELS["balancingrider"]
+        st = prepare(m, p, st)
+        eng = Engine.create(p, m)
+        out, _ = jax.jit(lambda e, s: e.simulate(s, t_steps,
+                                                 record=False))(eng, st)
+        return out
+
+    exact = run(every=1, budget=0)
+    # bench proportions: budget ~ 4 steps of the average trickle
+    perf = run(every=4, budget=max(16, n // 8))
+
+    for out in (exact, perf):
+        assert np.all(np.isfinite(np.asarray(out.s)))
+
+    # (a) resampled pole-feature population (dyn_gains[:, _PF])
+    pf_a = np.asarray(exact.dyn_gains[:, BR._PF])
+    pf_b = np.asarray(perf.dyn_gains[:, BR._PF])
+    for col in range(pf_a.shape[1]):
+        d, pv = stats.ks_2samp(pf_a[:, col], pf_b[:, col])
+        assert pv > 1e-3, (f"pole feature {col} distribution shifted by "
+                           f"the perf-mode relaxation: KS {d:.4f}, "
+                           f"p={pv:.2e}")
+
+    # (b) trajectory ensemble: final speeds + lateral drift from the
+    # destination line
+    sa, sb = np.asarray(exact.s), np.asarray(perf.s)
+    for col, name in ((3, "speed"), (1, "lateral position")):
+        d, pv = stats.ks_2samp(sa[:, col], sb[:, col])
+        assert pv > 1e-3, (f"{name} ensemble shifted: KS {d:.4f}, "
+                           f"p={pv:.2e}")
