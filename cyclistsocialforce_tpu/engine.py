@@ -910,9 +910,18 @@ class Engine(struct.PyTreeNode):
         npad = n if npad is None else npad
         dtype = state.s.dtype
 
+        def bb(value):
+            leaf = jnp.asarray(value, dtype=dtype)
+            if leaf.ndim >= 1:
+                # per-agent param table (always in ORIGINAL row order):
+                # index by the persistent uid so the row's params follow
+                # it through permutations (sorted residency) and device
+                # sharding; identity when rows are unpermuted
+                return leaf[state.uid]
+            return jnp.broadcast_to(leaf, (n,))
+
         def b(field):
-            return jnp.broadcast_to(
-                jnp.asarray(getattr(self.params, field), dtype=dtype), (n,))
+            return bb(getattr(self.params, field))
 
         x, y = state.s[:, X], state.s[:, Y]
         cpsi, spsi = jnp.cos(state.s[:, PSI]), jnp.sin(state.s[:, PSI])
@@ -922,10 +931,7 @@ class Engine(struct.PyTreeNode):
             # (every row fam=1; cols 4-7 = amp, e, 1/sqrt(1-e^2),
             # 1/p_decay -- mirrors MixedEngine.pack_pair_fields_mixed)
             e = F.legacy_excentricity(
-                state.s[:, V],
-                jnp.broadcast_to(
-                    jnp.asarray(pair_hi(self.params.v_max_riding),
-                                dtype=dtype), (n,)))
+                state.s[:, V], bb(pair_hi(self.params.v_max_riding)))
             p_decay = b("p_decay")
             amp = b("p_0") / p_decay
             zero = jnp.zeros((n,), dtype)
@@ -1118,9 +1124,12 @@ class Engine(struct.PyTreeNode):
         if self.scripted is not None:
             # scripted agents have no destination force (reference
             # vehicle.py:985-986); the clamp below then also zeroes the
-            # repulsive force they receive.
-            fdx = jnp.where(self.scripted.mask, 0.0, fdx)
-            fdy = jnp.where(self.scripted.mask, 0.0, fdy)
+            # repulsive force they receive. The script tables are indexed
+            # by the persistent agent uid, so the mask follows the agent
+            # through row permutations and device sharding.
+            smask = self.scripted.mask[state.uid]
+            fdx = jnp.where(smask, 0.0, fdx)
+            fdy = jnp.where(smask, 0.0, fdy)
 
         if self.rep_force is not None and state.n > 1:
             if self.neighbors is not None:
@@ -1149,13 +1158,22 @@ class Engine(struct.PyTreeNode):
         i = merged.i + jnp.where(before.active, 1, 0)
         if self.scripted is not None:
             # s <- traj[:, i] at the incremented counter, holding the last
-            # state past the script end (reference vehicle.py:973-977)
+            # state past the script end (reference vehicle.py:973-977).
+            # The script tables ([N_global] rows) are indexed by the
+            # persistent agent uid, NOT the row position: the replay
+            # follows the agent through row permutations (sorted
+            # residency) and device sharding, where a shard's rows are a
+            # slice/permutation of the global population.
             sc = self.scripted
-            idx = jnp.minimum(i, sc.length - 1)
-            replay = sc.traj[jnp.arange(merged.n), idx]
-            use = sc.mask & (i < sc.length)
-            hold = sc.mask & ~(i < sc.length)
-            s = jnp.where(use[:, None], replay, merged.s)
+            uid = merged.uid
+            length = sc.length[uid]
+            smask = sc.mask[uid]
+            idx = jnp.minimum(i, length - 1)
+            replay = sc.traj[uid, idx]
+            use = smask & (i < length)
+            hold = smask & ~(i < length)
+            s = jnp.where(use[:, None], replay.astype(merged.s.dtype),
+                          merged.s)
             s = jnp.where(hold[:, None], before.s, s)
             merged = merged.replace(s=s)
         # ring write at the GLOBAL step clock (see AgentState.t_glob): a

@@ -178,24 +178,48 @@ class MixedEngine(struct.PyTreeNode):
             priority_p2r=self.priority_p2r)
         return F.sum_sources(fx_pair, fy_pair, ~untracked)
 
+    def group_masks(self, state: AgentState):
+        """[n_rows] bool per group: which rows belong to it. Membership
+        is decided by the persistent agent uid (groups are contiguous in
+        ORIGINAL row order), so the masks follow the agents through row
+        permutations and device sharding (where a shard's rows are a
+        slice of the global population)."""
+        uid = state.uid
+        return [(uid >= g.lo) & (uid < g.hi) for g in self.groups]
+
     def pack_pair_fields_mixed(self, state: AgentState,
                                npad: int | None = None):
         """(src_pack [npad, 16], recv_pack [8, npad]) in the MIXED layout
         of ops.pallas_forces: the _FAM column selects the source row's
         field family; legacy rows reuse cols 4-7 as
-        (amp, e, 1/sqrt(1-e^2), 1/p_decay) with cols 8-10 zero."""
-        from cyclistsocialforce_tpu.ops import pallas_forces as PF
+        (amp, e, 1/sqrt(1-e^2), 1/p_decay) with cols 8-10 zero.
 
-        n = self.n
+        Rows select their group's field params by uid mask (group_masks),
+        NOT positional concatenation, so the pack is correct on permuted
+        rows and on a device shard holding an arbitrary slice of the
+        population."""
+        from cyclistsocialforce_tpu.ops import pallas_forces as PF
+        from cyclistsocialforce_tpu.params import pair_hi
+
+        n = state.n
         npad = n if npad is None else npad
         dtype = state.s.dtype
+        masks = self.group_masks(state)
+        uid = state.uid
 
-        def gcol(value, g):
-            return jnp.broadcast_to(jnp.asarray(value, dtype=dtype),
-                                    (g.hi - g.lo,))
+        def gval(value, g):
+            a = jnp.asarray(value, dtype=dtype)
+            if a.ndim >= 1 and a.shape[0] == (g.hi - g.lo):
+                # per-agent group param: row r of the group = uid - lo
+                off = jnp.clip(uid - g.lo, 0, g.hi - g.lo - 1)
+                return a[off]
+            return jnp.broadcast_to(a, (n,))
 
-        def col(fn):
-            return jnp.concatenate([fn(g) for g in self.groups])
+        def sel(per_group, default):
+            out = jnp.full((n,), default, dtype)
+            for m, v in zip(masks, per_group):
+                out = jnp.where(m, v, out)
+            return out
 
         x, y = state.s[:, X], state.s[:, Y]
         cpsi, spsi = jnp.cos(state.s[:, PSI]), jnp.sin(state.s[:, PSI])
@@ -203,41 +227,42 @@ class MixedEngine(struct.PyTreeNode):
 
         c4, c5, c6, c7 = [], [], [], []
         c8, c9, c10, fam, chf = [], [], [], [], []
-        from cyclistsocialforce_tpu.params import pair_hi
+        zero = jnp.zeros((n,), dtype)
         for g in self.groups:
-            ng = g.hi - g.lo
-            chf.append(jnp.cos(gcol(g.params.hfov, g) / 2))
+            chf.append(jnp.cos(gval(g.params.hfov, g) / 2))
             if g.rep_name == "twod":
-                c4.append(gcol(g.params.f_0, g))
-                c5.append(gcol(g.params.e_0, g))
-                c6.append(gcol(g.params.e_1, g))
-                c7.append(gcol(g.params.sigma_0, g))
-                c8.append(gcol(g.params.sigma_1, g))
-                c9.append(gcol(g.params.sigma_2, g))
-                c10.append(gcol(g.params.sigma_3, g))
-                fam.append(jnp.zeros((ng,), dtype))
+                c4.append(gval(g.params.f_0, g))
+                c5.append(gval(g.params.e_0, g))
+                c6.append(gval(g.params.e_1, g))
+                c7.append(gval(g.params.sigma_0, g))
+                c8.append(gval(g.params.sigma_1, g))
+                c9.append(gval(g.params.sigma_2, g))
+                c10.append(gval(g.params.sigma_3, g))
+                fam.append(zero)
             else:   # legacy elliptic field
-                v = state.s[g.lo:g.hi, V]
                 e = F.legacy_excentricity(
-                    v, gcol(pair_hi(g.params.v_max_riding), g))
-                p_decay = gcol(g.params.p_decay, g)
-                c4.append(gcol(g.params.p_0, g) / p_decay)   # amp
+                    state.s[:, V], gval(pair_hi(g.params.v_max_riding), g))
+                p_decay = gval(g.params.p_decay, g)
+                c4.append(gval(g.params.p_0, g) / p_decay)   # amp
                 c5.append(e)
                 c6.append(1.0 / jnp.sqrt(1.0 - e * e))
                 c7.append(1.0 / p_decay)
-                c8.append(jnp.zeros((ng,), dtype))
-                c9.append(jnp.zeros((ng,), dtype))
-                c10.append(jnp.zeros((ng,), dtype))
-                fam.append(jnp.ones((ng,), dtype))
+                c8.append(zero)
+                c9.append(zero)
+                c10.append(zero)
+                fam.append(jnp.ones((n,), dtype))
 
-        cat = jnp.concatenate
-        emit = act * (cat(c4) > 0)
+        c4 = sel(c4, 0.0)
+        emit = act * (c4 > 0)
         # f_0/amp pre-multiplied by the emit flag: non-emitting sources
         # produce P = 0 inside the force tiles with no per-pair mask op
-        # (engine.pack_pair_fields does the same)
-        c4 = cat(c4) * emit
-        src_cols = [x, y, cpsi, spsi, c4, cat(c5), cat(c6), cat(c7),
-                    cat(c8), cat(c9), cat(c10), cat(chf), emit, cat(fam)]
+        # (engine.pack_pair_fields does the same). Defaults on rows
+        # outside every group (none in practice) keep the tile math
+        # non-degenerate: sigma/e scale cols default to 1, emit 0.
+        c4 = c4 * emit
+        src_cols = [x, y, cpsi, spsi, c4, sel(c5, 0.0), sel(c6, 1.0),
+                    sel(c7, 1.0), sel(c8, 0.0), sel(c9, 0.0),
+                    sel(c10, 0.0), sel(chf, 1.0), emit, sel(fam, 0.0)]
         pad_cols = [jnp.zeros((n,), dtype)] * (PF.SRC_COLS - 1
                                                - len(src_cols))
         # last pad lane = receiver activity flag (engine.sorted_packs)
@@ -259,6 +284,36 @@ class MixedEngine(struct.PyTreeNode):
             recv_pad = recv_pad.at[0].set(x[0]).at[1].set(y[0])
             recv_pack = jnp.concatenate([recv_pack, recv_pad], axis=1)
         return src_pack, recv_pack
+
+    # ---- generic-schedule surface (parallel.sharding consumes these
+    # through the same attribute names as Engine) ----
+
+    # pack alias: the sharded culled schedules call engine.pack_pair_fields
+    pack_pair_fields = pack_pair_fields_mixed
+
+    @property
+    def pair_family(self):
+        return "mixed"     # routes through the mixed-family tile kernels
+
+    @property
+    def uniform_pair(self):
+        return None        # per-row family column; no baked constants
+
+    @property
+    def rep_reduce(self):
+        return None        # tile sums only (clamp_add_dest combine)
+
+    @property
+    def sorted_resident(self):
+        return False       # mixed rows rebuild from original order
+
+    def pair_kernel_dispatch(self, nbr, valid, src_sorted, recv_sorted,
+                             recv_offset=None, mixed: bool | None = None):
+        """Engine.pair_kernel_dispatch equivalent, always mixed-family."""
+        return eng.pair_kernel_dispatch(
+            self.neighbors, self.priority_p2r, nbr, valid,
+            src_sorted, recv_sorted, recv_offset=recv_offset, mixed=True,
+            fov=not self.full_fov, uniform=None)
 
     def _repulsive_culled(self, state: AgentState, cache=None):
         """Block-sparse culled mixed-family pairwise stage."""
@@ -283,9 +338,11 @@ class MixedEngine(struct.PyTreeNode):
         fdx, fdy, state = self._dest_forces(state)
         if self.scripted is not None:
             # scripted agents have no destination force (reference
-            # vehicle.py:985-986)
-            fdx = jnp.where(self.scripted.mask, 0.0, fdx)
-            fdy = jnp.where(self.scripted.mask, 0.0, fdy)
+            # vehicle.py:985-986); uid-indexed so the mask follows the
+            # agent through permutations and sharding (engine.finish_step)
+            smask = self.scripted.mask[state.uid]
+            fdx = jnp.where(smask, 0.0, fdx)
+            fdy = jnp.where(smask, 0.0, fdy)
         if self.n > 1:
             if self.neighbors is not None:
                 frx, fry = self._repulsive_culled(state, nbr_cache)

@@ -70,6 +70,16 @@ def shard_state(state: AgentState, mesh: Mesh,
         state, specs)
 
 
+def _hfov_rows(engine, lstate):
+    """Local rows' hfov: scalar params broadcast; per-agent hfov tables
+    (a [N_global] leaf baked into the program) are indexed by the rows'
+    persistent uid (scripted cars with car-like FOV, per-agent calib)."""
+    hfov = jnp.asarray(engine.params.hfov)
+    if hfov.ndim >= 1:
+        return hfov[lstate.uid]
+    return jnp.broadcast_to(hfov, (lstate.n,))
+
+
 def _repulsive_allgather(engine, lstate, axis):
     """All-gather schedule: every device sees all sources."""
     nl = lstate.n
@@ -81,8 +91,7 @@ def _repulsive_allgather(engine, lstate, axis):
 
     src = tuple(gather(v) for v in engine._src_bundle(lstate))
     active_src = gather(lstate.active)
-    hfov_src = gather(jnp.broadcast_to(jnp.asarray(engine.params.hfov),
-                                       (nl,)))
+    hfov_src = gather(_hfov_rows(engine, lstate))
     return engine.repulsive_sum(
         lstate, src=src, idx_src=jnp.arange(n_global),
         active_src=active_src, hfov_src=hfov_src, recv_offset=d * nl)
@@ -102,10 +111,11 @@ def _repulsive_ring(engine, lstate, axis):
 
     src0 = engine._src_bundle(lstate)
     # mark replicated initializers as device-varying so the scan carry
-    # types stay consistent once per-device data mixes in
-    hfov0 = jax.lax.pcast(
-        jnp.broadcast_to(jnp.asarray(engine.params.hfov), (nl,)), axis,
-        to="varying")
+    # types stay consistent once per-device data mixes in (a per-agent
+    # hfov table is already varying through the uid gather)
+    hfov0 = _hfov_rows(engine, lstate)
+    if jnp.asarray(engine.params.hfov).ndim == 0:
+        hfov0 = jax.lax.pcast(hfov0, axis, to="varying")
     block0 = (*src0, lstate.active, hfov0,
               jnp.asarray(d, dtype=jnp.int32))
 
@@ -224,7 +234,7 @@ def _repulsive_neighbors(engine, lstate, axis, cache=None,
 
     if comm == "ring":
         perm_ring = [(i, (i + 1) % size) for i in range(size)]
-        mixed = engine.pair_family == "legacy"
+        mixed = engine.pair_family != "twod"
         block0 = (src_sorted, jnp.asarray(d, dtype=jnp.int32))
 
         def hop(carry, _):
@@ -422,12 +432,10 @@ def required_halo(engine: Engine, state: AgentState, n_devices: int) -> int:
 
 
 def _check_sharded_support(engine, comm):
-    if engine.scripted is not None:
-        raise ValueError(
-            "scripted agents are not supported under shard_map (the "
-            "replay table is indexed with GLOBAL agent indices; a local "
-            "shard would replay the wrong rows) -- run scripted scenarios "
-            "single-device")
+    # scripted agents ARE supported: the replay tables ([N_global] rows,
+    # replicated as program constants) are indexed by the persistent
+    # agent uid, which identifies a shard's rows globally
+    # (engine.finish_step)
     if engine.rep_reduce is not None and (comm == "ring"
                                           or engine.neighbors is not None):
         raise ValueError("custom rep_reduce hooks accumulate partial sums "
@@ -472,14 +480,153 @@ def _local_step(engine, axis, rep_comm, lstate, nbr_cache=None,
     return engine.finish_step(before, new), fx, fy
 
 
+# --------------------------------------------------------------------------
+# heterogeneous (MixedEngine) populations under shard_map: group
+# membership rides the persistent uid, each group's dest force and
+# dynamics run masked over the whole local shard (G x the cheap local
+# stages; the expensive pair stage runs ONCE through the mixed-family
+# tiles), and scripted agents replay uid-indexed tables. Reference
+# semantics: the heterogeneous agent list of intersection.py:813-823.
+# --------------------------------------------------------------------------
+
+
+def _is_mixed(engine):
+    from cyclistsocialforce_tpu.mixed import MixedEngine
+    return isinstance(engine, MixedEngine)
+
+
+def _group_params_local(g, lstate):
+    """Group params viewed from the local shard rows: per-agent leaves
+    ([n_g, ...], always in group-row order) are gathered to the shard's
+    rows by uid; shared/scalar leaves pass through. Rows outside the
+    group read a clamped (garbage but finite) value -- their masked
+    results are discarded. Caveat: a SHARED leaf whose leading dim
+    happens to equal the group size is indistinguishable from a
+    per-agent leaf (population-shared matrices are safe: as_population
+    keeps them unbatched and group sizes are >> 5 in practice)."""
+    ng = g.hi - g.lo
+
+    def fix(leaf):
+        a = jnp.asarray(leaf)
+        if a.ndim >= 1 and a.shape[0] == ng and ng > 1:
+            off = jnp.clip(lstate.uid - g.lo, 0, ng - 1)
+            return a[off]
+        return leaf
+
+    return jax.tree.map(fix, g.params)
+
+
+def _masked_merge_rows(old_state, new_state, m):
+    """Row-masked state merge: rows where `m` take `new_state`'s
+    per-agent fields (the sharded equivalent of mixed.state_merge)."""
+    from cyclistsocialforce_tpu.mixed import _SLICE_FIELDS
+
+    def pick(ol, nw):
+        mm = m.reshape(m.shape + (1,) * (ol.ndim - 1))
+        return jnp.where(mm, nw.astype(ol.dtype), ol)
+
+    upd = {f: jax.tree.map(pick, getattr(old_state, f),
+                           getattr(new_state, f))
+           for f in _SLICE_FIELDS}
+    return old_state.replace(**upd)
+
+
+def _mixed_local_step(me, axis, lstate, nbr_cache=None, presorted=False,
+                      comm="allgather", halo=0):
+    """One sharded MixedEngine step on the local shard. Mirrors
+    MixedEngine.step with masked whole-shard group stages instead of
+    contiguous slices (a shard's rows span group boundaries); per-row
+    results are bit-identical because every group stage is elementwise
+    in the agent row and stochastic draws key off the uid
+    (state.agent_streams)."""
+    from cyclistsocialforce_tpu import engine as eng
+    from cyclistsocialforce_tpu.models import MODELS
+
+    # mixed populations need the union of every group's internal fields
+    # (trace-time guard, mirrors MixedEngine.step)
+    for g in me.groups:
+        mod = next((m for m in MODELS.values()
+                    if m.step is g.model_step), None)
+        if mod is not None:
+            eng._check_state_widths(getattr(mod, "STATE_WIDTHS", None),
+                                    lstate)
+
+    before = lstate
+    masks = me.group_masks(lstate)
+    dtype = lstate.s.dtype
+    fdx = jnp.zeros((lstate.n,), dtype)
+    fdy = jnp.zeros((lstate.n,), dtype)
+    st = lstate
+    for g, m in zip(me.groups, masks):
+        gp = _group_params_local(g, lstate)
+        gfx, gfy, new = g.dest_force(gp, lstate)
+        fdx = jnp.where(m, gfx.astype(dtype), fdx)
+        fdy = jnp.where(m, gfy.astype(dtype), fdy)
+        st = _masked_merge_rows(st, new, m)
+    lstate = st
+    if me.scripted is not None:
+        smask = me.scripted.mask[lstate.uid]
+        fdx = jnp.where(smask, 0.0, fdx)
+        fdy = jnp.where(smask, 0.0, fdy)
+
+    if comm == "halo":
+        frx, fry = _repulsive_neighbors_halo(me, lstate, axis, nbr_cache,
+                                             halo)
+    else:
+        frx, fry = _repulsive_neighbors(me, lstate, axis, nbr_cache,
+                                        presorted=presorted, comm=comm)
+    fx, fy = F.clamp_add_dest(frx, fry, fdx, fdy)
+
+    if me.road is not None:
+        rx, ry = F.road_edge_force(
+            lstate.s[:, X], lstate.s[:, Y], me.road.vertices,
+            me.road.weights, me.road.F_0, me.road.sigma)
+        fx, fy = fx + rx, fy + ry
+
+    st = lstate
+    for gi, (g, m) in enumerate(zip(me.groups, masks)):
+        gp = _group_params_local(g, lstate)
+        # static per-group salt folded into the CONSTANT master key
+        # (mixed.MixedEngine.step): draws stay pure in (key, gi, t, uid)
+        sub = lstate.replace(key=jax.random.fold_in(lstate.key, gi))
+        cand = g.model_step(gp, sub, fx, fy)
+        st = _masked_merge_rows(st, cand, m)
+    helper = eng.Engine(params=None, model_step=None,
+                        scripted=me.scripted)
+    return helper.finish_step(before, st), fx, fy
+
+
+def _check_sharded_support_mixed(me, comm):
+    if me.neighbors is None:
+        raise ValueError(
+            "sharded MixedEngine requires neighbor culling "
+            "(MixedEngine.create(..., neighbors=NeighborConfig(...))): "
+            "the dense mixed pair stage materializes [N, N] per family "
+            "and has no sharded schedule")
+    for g in me.groups:
+        if getattr(g.params, "br_resample_budget", 0):
+            raise ValueError(
+                "stochastic groups under a sharded MixedEngine need "
+                "resample_budget=0 (unlimited): the budget compaction "
+                "is population-order-dependent and the masked whole-"
+                "shard evaluation would spend budget on foreign rows")
+
+
 def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
                     with_forces: bool = False, comm: str = "allgather"):
     """Build a jittable one-step function over the mesh.
 
-    The population size must be divisible by the mesh size. Force-field
-    parameters consumed by the pairwise stage (f_0, sigma_*, hfov, ...)
-    must be scalars (population-shared) in sharded mode; per-agent
-    destination/dynamics parameters are fine (they shard with the agents).
+    The population size must be divisible by the mesh size. In the DENSE
+    comm schedules, force-field parameters consumed by the pairwise
+    stage (f_0, sigma_*, ...) must be scalars (population-shared);
+    per-agent destination/dynamics parameters are fine (they shard with
+    the agents), per-agent hfov tables are uid-indexed, and the CULLED
+    path supports fully per-agent pair params (the pack gathers them by
+    uid). Scripted agents are supported everywhere: their replay tables
+    replicate as program constants and are indexed by the persistent
+    uid. A `MixedEngine` (heterogeneous model groups, optionally with
+    scripted cars) is accepted too -- it requires neighbor culling and
+    runs each group's local stages masked by uid over the shard.
 
     With `engine.neighbors` set, the pair stage runs the spatially-culled
     block-sparse path per device (local cell sort + gathered block-bbox
@@ -490,13 +637,20 @@ def sharded_step_fn(engine: Engine, mesh: Mesh, axis: str = AGENT_AXIS,
             "comm='halo' amortizes its global reshard over a rebuild "
             "chunk, so it only exists for sharded_simulate_fn; a "
             "single sharded step has no chunk to amortize over")
-    _check_sharded_support(engine, comm)
+    if _is_mixed(engine):
+        _check_sharded_support_mixed(engine, comm)
+    else:
+        _check_sharded_support(engine, comm)
     specs = state_pspecs(axis)
     rep_comm = _REP_COMMS[comm]
 
     def local_step(lstate: AgentState):
-        out, fx, fy = _local_step(engine, axis, rep_comm, lstate,
-                                  comm=comm)
+        if _is_mixed(engine):
+            out, fx, fy = _mixed_local_step(engine, axis, lstate,
+                                            comm=comm)
+        else:
+            out, fx, fy = _local_step(engine, axis, rep_comm, lstate,
+                                      comm=comm)
         if with_forces:
             return out, fx, fy
         return out
@@ -530,14 +684,18 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
     if comm == "halo":
         return _sharded_simulate_halo_fn(engine, mesh, n_steps, axis,
                                          record, halo)
-    _check_sharded_support(engine, comm)
+    if _is_mixed(engine):
+        _check_sharded_support_mixed(engine, comm)
+        step_impl = functools.partial(_mixed_local_step, engine, axis)
+    else:
+        _check_sharded_support(engine, comm)
+        step_impl = functools.partial(_local_step, engine, axis,
+                                      _REP_COMMS[comm])
     specs = state_pspecs(axis)
-    rep_comm = _REP_COMMS[comm]
 
     def local_run(lstate: AgentState):
         def body(st, _):
-            out, fx, fy = _local_step(engine, axis, rep_comm, st,
-                                      comm=comm)
+            out, fx, fy = step_impl(st, comm=comm)
             return out, (out.s if record else None)
 
         k = (engine.neighbors.rebuild_every
@@ -567,9 +725,8 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
                 ident = ident[cache[0]]
 
                 def inner(st, _):
-                    out, fx, fy = _local_step(
-                        engine, axis, rep_comm, st, nbr_cache=cache,
-                        presorted=True, comm=comm)
+                    out, fx, fy = step_impl(st, nbr_cache=cache,
+                                            presorted=True, comm=comm)
                     return out, None
 
                 st, _ = jax.lax.scan(inner, st, None, length=k)
@@ -588,8 +745,7 @@ def sharded_simulate_fn(engine: Engine, mesh: Mesh, n_steps: int,
             cache = _neighbor_cache_sharded(engine, st, axis)
 
             def inner(st, _):
-                out, fx, fy = _local_step(engine, axis, rep_comm, st,
-                                          nbr_cache=cache, comm=comm)
+                out, fx, fy = step_impl(st, nbr_cache=cache, comm=comm)
                 return out, (out.s if record else None)
 
             return jax.lax.scan(inner, st, None, length=k)
@@ -620,11 +776,17 @@ def _sharded_simulate_halo_fn(engine, mesh, n_steps, axis, record, halo):
                          "order across rebuild chunks; per-step "
                          "recording is not supported (use comm="
                          "'allgather')")
-    # rejects scripted agents, custom rep_reduce hooks (pair tiles only
-    # SUM; a custom receiver-side reduction would be silently wrong
-    # physics), and custom-family force tiles -- same contract as every
-    # other culled sharded schedule
-    _check_sharded_support(engine, "halo")
+    # rejects custom rep_reduce hooks (pair tiles only SUM; a custom
+    # receiver-side reduction would be silently wrong physics) and
+    # custom-family force tiles -- same contract as every other culled
+    # sharded schedule. Scripted agents and MixedEngine groups ride the
+    # uid (replay tables / group masks follow permuted rows).
+    if _is_mixed(engine):
+        _check_sharded_support_mixed(engine, "halo")
+        step_impl = functools.partial(_mixed_local_step, engine, axis)
+    else:
+        _check_sharded_support(engine, "halo")
+        step_impl = functools.partial(_local_step, engine, axis, None)
     if halo < 1:
         raise ValueError("halo must be >= 1 source block per side")
     specs = state_pspecs(axis)
@@ -658,9 +820,8 @@ def _sharded_simulate_halo_fn(engine, mesh, n_steps, axis, record, halo):
             cache = _neighbor_cache_halo(engine, st, axis, halo)
 
             def inner(st, _):
-                out, fx, fy = _local_step(engine, axis, None, st,
-                                          nbr_cache=cache, comm="halo",
-                                          halo=halo)
+                out, fx, fy = step_impl(st, nbr_cache=cache, comm="halo",
+                                        halo=halo)
                 return out, None
 
             st, _ = jax.lax.scan(inner, st, None, length=m)

@@ -232,25 +232,42 @@ def test_sharded_culled_asymmetric_source_blocks(comm):
                                np.asarray(ref.s[:, :2]), atol=2e-5)
 
 
-def test_sharded_rejects_scripted_and_ring_rep_reduce():
-    from cyclistsocialforce_tpu.engine import ScriptedTraj
+def test_sharded_rejects_ring_rep_reduce_and_mixed_dense():
+    from cyclistsocialforce_tpu.mixed import MixedEngine
+    from cyclistsocialforce_tpu.params import (BalancingRiderParams,
+                                               BicycleParams)
     from cyclistsocialforce_tpu.parallel import make_mesh, sharded_step_fn
+
+    import jax.numpy as jnp
 
     eng, st = _setup(16)
     mesh = make_mesh()
-    eng_scripted = eng.replace(
-        scripted=ScriptedTraj.create(16, {0: np.zeros((4, 5))}))
-    with pytest.raises(ValueError, match="scripted"):
-        sharded_step_fn(eng_scripted, mesh)
 
     def custom_reduce(fx, fy, mask):
         return (jnp.max(jnp.where(mask, fx, 0.0), axis=0),
                 jnp.max(jnp.where(mask, fy, 0.0), axis=0))
 
-    import jax.numpy as jnp
     eng_red = eng.replace(rep_reduce=custom_reduce)
     with pytest.raises(ValueError, match="rep_reduce"):
         sharded_step_fn(eng_red, mesh, comm="ring")
+
+    # a sharded MixedEngine needs neighbor culling...
+    me = MixedEngine.create([("bicycle2d", BicycleParams.create(), 16)])
+    with pytest.raises(ValueError, match="neighbor culling"):
+        sharded_step_fn(me, mesh)
+
+    # ... and stochastic groups with a binding resample budget are
+    # rejected (the compaction is population-order-dependent)
+    from cyclistsocialforce_tpu.engine import NeighborConfig
+    me2 = MixedEngine.create(
+        [("balancingrider",
+          BalancingRiderParams.create(stochastic_control_behavior=True,
+                                      resample_budget=8, verbose=False),
+          16)],
+        neighbors=NeighborConfig(cutoff=1e4, block=16, kb=1,
+                                 backend="xla"))
+    with pytest.raises(ValueError, match="resample_budget"):
+        sharded_step_fn(me2, mesh)
 
 
 def test_sharded_honors_combine_forces():
@@ -813,6 +830,164 @@ def test_sharded_halo_spline_family_matches_single_device():
                                              record=False))(eng, st)
     mesh = make_mesh()
     run = sharded_simulate_fn(eng, mesh, n_steps, record=False,
+                              comm="halo", halo=h)
+    out, ovf = run(shard_state(st, mesh))
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# heterogeneous crowds under shard_map (VERDICT r4 item 2): scripted
+# agents and MixedEngine populations must bit-match their single-device
+# runs through the sharded schedules. Group membership and script replay
+# ride the persistent uid.
+# --------------------------------------------------------------------------
+
+
+def _setup_scripted(n=16, t_script=30):
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.engine import ScriptedTraj
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+    from cyclistsocialforce_tpu.state import set_destinations
+
+    rng = np.random.default_rng(0)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-30, 30, n)
+    s0[:, 1] = rng.uniform(-30, 30, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    for a in range(n):
+        st = set_destinations(st, a, (rng.uniform(-50, 50),),
+                              (rng.uniform(-50, 50),))
+    ts = 0.01
+    tr = {}
+    for a in (3, 9):   # straight-line scripts at 8 m/s on two shards
+        t = np.zeros((t_script, 4))
+        t[:, 0] = s0[a, 0] + 8 * ts * np.arange(1, t_script + 1)
+        t[:, 1] = s0[a, 1]
+        t[:, 3] = 8.0
+        tr[a] = t
+    sc = ScriptedTraj.create(n, tr, dtype=jnp.float64)
+    eng = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
+                        scripted=sc)
+    return eng, st
+
+
+@pytest.mark.parametrize("comm", ["allgather", "ring"])
+def test_sharded_scripted_matches_single_device(comm):
+    """Scripted agents replay uid-indexed tables (replicated program
+    constants) on whatever shard their row lives on; the horizon runs
+    PAST the script end to exercise the hold branch."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    eng, st = _setup_scripted()
+    n_steps = 40     # script length 30: replay + hold
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                             record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, n_steps, record=False, comm=comm)
+    out, _ = run(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+
+
+def _setup_mixed_sharded(n, side, cutoff, kb, seed=0, hist_len=16,
+                         rebuild_every=3, scripted_car=False):
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import make_state
+    from cyclistsocialforce_tpu.engine import NeighborConfig, ScriptedTraj
+    from cyclistsocialforce_tpu.mixed import MixedEngine, prepare_groups
+    from cyclistsocialforce_tpu.params import (BicycleParams,
+                                               InvPendulumBicycleParams,
+                                               as_population)
+
+    n_legacy = n // 4
+    n_twod = n - n_legacy
+    rng = np.random.default_rng(seed)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-side, side, n)
+    s0[:, 1] = rng.uniform(-side, side, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64, hist_len=hist_len)
+    dst = np.c_[rng.uniform(-side, side, n), rng.uniform(-side, side, n)]
+    st = st.replace(dest=st.dest.at[:, :2].set(jnp.asarray(dst)),
+                    destqueue=st.destqueue.at[:, 0, :2].set(
+                        jnp.asarray(dst)))
+    # per-agent (as_population) group params: exercises the uid-gathered
+    # group-param path of the sharded masked stages
+    pa = as_population(BicycleParams.create(), n_legacy)
+    pb = as_population(InvPendulumBicycleParams.create(), n_twod)
+    groups = [("bicycle2d", pa, n_legacy), ("twod", pb, n_twod)]
+    scripted = None
+    if scripted_car:
+        # agent 1 (a legacy-group row): scripted straight drive at 8 m/s
+        t = np.zeros((40, 4))
+        t[:, 0] = s0[1, 0] + 8 * 0.01 * np.arange(1, 41)
+        t[:, 1] = s0[1, 1]
+        t[:, 3] = 8.0
+        scripted = ScriptedTraj.create(n, {1: t}, dtype=jnp.float64)
+    nbr = NeighborConfig(cutoff=cutoff, block=16, kb=kb, backend="xla",
+                         rebuild_every=rebuild_every)
+    meng = MixedEngine.create(groups, neighbors=nbr, scripted=scripted)
+    st = prepare_groups(meng, st)
+    return meng, st
+
+
+@pytest.mark.parametrize("scripted_car", [False, True])
+def test_sharded_mixed_culled_matches_single_device(scripted_car):
+    """Mixed-family culled crowds (legacy + twod groups, per-agent
+    as_population params, optional scripted car) through the sharded
+    allgather schedule bit-match the single-device culled MixedEngine.
+    The domain-covering cutoff removes block-partition fringe effects,
+    so only float summation order remains (~1e-13)."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    meng, st = _setup_mixed_sharded(256, side=60.0, cutoff=1e4, kb=24,
+                                    scripted_car=scripted_car)
+    n_steps = 7     # 2 chunks of 3 + remainder 1
+    ref, _ = jax.jit(lambda s: meng.simulate(s, n_steps,
+                                             record=False))(st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(meng, mesh, n_steps, record=False)
+    out, _ = run(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
+    if scripted_car:
+        # the scripted row replayed its script exactly on its shard
+        s1 = np.asarray(out.s)[1]
+        ref1 = np.asarray(ref.s)[1]
+        np.testing.assert_allclose(s1, ref1, rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_sharded_mixed_halo_matches_single_device():
+    """The halo-exchange schedule on a heterogeneous crowd: globally
+    cell-sorted strips + boundary-block ppermutes reproduce the
+    single-device culled MixedEngine exactly (group masks and packed
+    family columns ride the uid through the global reshard)."""
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, required_halo, shard_state, sharded_simulate_fn)
+
+    n_dev = len(jax.devices())
+    n = 1024 * n_dev
+    side = 0.5 * np.sqrt(n / 0.02)
+    meng, st = _setup_mixed_sharded(n, side=side, cutoff=30.0, kb=64,
+                                    seed=3, rebuild_every=4)
+    h = required_halo(meng, st, n_dev) + 1
+    n_steps = 10    # 2 chunks of 4 + remainder 2
+    ref, _ = jax.jit(lambda s: meng.simulate(s, n_steps,
+                                             record=False))(st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(meng, mesh, n_steps, record=False,
                               comm="halo", halo=h)
     out, ovf = run(shard_state(st, mesh))
     assert not bool(ovf)
