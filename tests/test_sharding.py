@@ -941,13 +941,15 @@ def _setup_mixed_sharded(n, side, cutoff, kb, seed=0, hist_len=16,
     return meng, st
 
 
-@pytest.mark.parametrize("scripted_car", [False, True])
-def test_sharded_mixed_culled_matches_single_device(scripted_car):
+@pytest.mark.parametrize("comm,scripted_car",
+                         [("allgather", False), ("allgather", True),
+                          ("ring", False)])
+def test_sharded_mixed_culled_matches_single_device(comm, scripted_car):
     """Mixed-family culled crowds (legacy + twod groups, per-agent
     as_population params, optional scripted car) through the sharded
-    allgather schedule bit-match the single-device culled MixedEngine.
-    The domain-covering cutoff removes block-partition fringe effects,
-    so only float summation order remains (~1e-13)."""
+    allgather/ring schedules bit-match the single-device culled
+    MixedEngine. The domain-covering cutoff removes block-partition
+    fringe effects, so only float summation order remains (~1e-13)."""
     from cyclistsocialforce_tpu.parallel import (
         make_mesh, shard_state, sharded_simulate_fn)
 
@@ -957,7 +959,8 @@ def test_sharded_mixed_culled_matches_single_device(scripted_car):
     ref, _ = jax.jit(lambda s: meng.simulate(s, n_steps,
                                              record=False))(st)
     mesh = make_mesh()
-    run = sharded_simulate_fn(meng, mesh, n_steps, record=False)
+    run = sharded_simulate_fn(meng, mesh, n_steps, record=False,
+                              comm=comm)
     out, _ = run(shard_state(st, mesh))
     np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
                                rtol=0, atol=1e-12)
