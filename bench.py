@@ -545,7 +545,7 @@ _DEFAULT_RETIME = ("headline", ["--headline"])
 _SELFTEST_ROWS = {
     "ok": ((("headline", ["--fake", "ok:100"], 3),
             ("heavy", ["--fake", "ok:200"], 2),
-            ("hangrow", ["--fake", "hang"], 2),
+            ("hangrow", ["--fake", "hang"], 1),
             ("tail", ["--fake", "ok:50"], 2)), None),
     "nohead": ((("headline", ["--fake", "fail"], 2),
                 ("heavy", ["--fake", "ok:200"], 2),

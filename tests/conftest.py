@@ -18,3 +18,42 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the slow tier is COMPILE-dominated
+# (big shard_map scans on the CPU backend); caching serialized
+# executables under /tmp makes repeat suite runs start warm. Keyed on
+# the HLO hash, so source changes recompile automatically. Best-effort.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/csf_test_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # noqa: BLE001 - cache is an optimization only
+    pass
+
+
+# Duration budget (VERDICT r4 item 7): new tests must pay their way.
+# Unmarked tests get 90 s, slow-marked 300 s -- generous enough for a
+# loaded 1-CPU box, tight enough to catch drift. Violations fail the
+# offending test at teardown with instructions. Opt out with
+# CSF_NO_DURATION_BUDGET=1 (e.g. under heavy external load).
+import pytest as _pytest
+
+_BUDGETS = {"slow": 300.0, "": 90.0}
+
+
+@_pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    rep = outcome.get_result()
+    if (rep.when != "call" or rep.outcome != "passed"
+            or os.environ.get("CSF_NO_DURATION_BUDGET")):
+        return
+    budget = _BUDGETS["slow" if item.get_closest_marker("slow") else ""]
+    if call.duration > budget:
+        rep.outcome = "failed"
+        rep.longrepr = (
+            f"{item.nodeid} took {call.duration:.0f}s > its "
+            f"{budget:.0f}s duration budget (unmarked tests get 90s, "
+            f"@pytest.mark.slow 300s). Trim the horizon/population, "
+            f"mark it slow, or split it -- the full suite is the parity "
+            f"guarantee and must stay runnable. "
+            f"CSF_NO_DURATION_BUDGET=1 bypasses under external load.")

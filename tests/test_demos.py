@@ -13,8 +13,8 @@ DEMOS = [
     ["demos/demo_parcours.py", "--t-end", "1.0"],
     ["demos/demo_curve.py", "--t-end", "1.0"],
     ["demos/demo_sumo.py", "--bikes", "2", "--steps", "800"],
-    ["demos/demo_mixed_traffic.py", "--riders", "300", "--cars", "3",
-     "--steps", "120"],
+    ["demos/demo_mixed_traffic.py", "--riders", "256", "--cars", "3",
+     "--steps", "60"],
     ["demos/demo_polemodel.py", "--model", "PP0",
      "--out", "/tmp/demo_poles_smoke.png"],
     ["demos/demo_scale.py", "--agents", "2048", "--steps", "20",

@@ -64,14 +64,20 @@ def test_yaw_stepresponse_invpendulum():
     params_b = {f: jnp.asarray(float(np.asarray(getattr(params, f))))
                 for f in ("l", "l_2", "g", "tau_1_squared", "c_steer",
                           "i_steer_vertvert")}
-    x = jnp.zeros(5, dtype=jnp.float64)
-    got = []
-    for _ in range(n_steps):
+    import jax
+
+    def step(x, _):
         x = invpendulum._step_yaw_one(
             params_b, jnp.asarray(K_x), jnp.asarray(K_u),
             jnp.asarray(v), x, jnp.asarray(psi_d), jnp.asarray(t_s))
-        got.append(np.asarray(x))
-    got = np.array(got)
+        return x, x
+
+    # one jitted scan instead of n_steps eager dispatches (the eager
+    # loop was 55 s of pure dispatch overhead on this 1-CPU box)
+    _, got = jax.jit(lambda x0: jax.lax.scan(step, x0, None,
+                                             length=n_steps))(
+        jnp.zeros(5, dtype=jnp.float64))
+    got = np.asarray(got)
 
     try:
         np.testing.assert_allclose(got, ref, atol=1e-9)

@@ -193,7 +193,7 @@ def test_stochastic_perf_semantics_distributionally_equivalent():
     from cyclistsocialforce_tpu.models import prepare
     from cyclistsocialforce_tpu.params import BalancingRiderParams
 
-    n, t_steps = 512, 400
+    n, t_steps = 512, 320
     rng = np.random.default_rng(7)
     s0 = np.zeros((n, 5))
     s0[:, 0] = rng.uniform(0, 150, n)

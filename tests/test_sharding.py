@@ -614,6 +614,7 @@ def test_sharded_flagship_budget_exceeding_local_shard():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_flagship_halo_stochastic_matches_single_device():
     """Stochastic flagship through the halo-exchange culled schedule:
     the reshard permutes rows across devices every rebuild chunk -- the
