@@ -25,7 +25,7 @@ jax.config.update("jax_enable_x64", True)
 # the HLO hash, so source changes recompile automatically. Best-effort.
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/csf_test_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # noqa: BLE001 - cache is an optimization only
     pass
 

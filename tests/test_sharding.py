@@ -673,7 +673,7 @@ def test_sharded_culled_halo_matches_single_device():
     n = 1024 * n_dev     # strips must span several cell columns: the
     #                      halo is ~2 columns' worth of source blocks
     eng, st = _setup_halo(n, kb=64)
-    n_steps = 14    # 3 chunks of 4 + remainder 2
+    n_steps = 10    # 2 chunks of 4 + remainder 2
 
     h = required_halo(eng, st, n_dev) + 1
     assert h * eng.neighbors.block_src <= n // n_dev, (
@@ -757,7 +757,7 @@ def test_sharded_halo_nonsorted_resident_matches_single_device():
     n = 1024 * n_dev
     eng, st = _setup_halo(n, kb=64)
     eng = eng.replace(sorted_resident=False)
-    n_steps = 14    # 3 chunks of 4 + remainder 2
+    n_steps = 10    # 2 chunks of 4 + remainder 2
 
     h = required_halo(eng, st, n_dev) + 1
     ref, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
