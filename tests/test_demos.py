@@ -19,6 +19,8 @@ DEMOS = [
      "--out", "/tmp/demo_poles_smoke.png"],
     ["demos/demo_scale.py", "--agents", "2048", "--steps", "20",
      "--backend", "xla"],
+    ["demos/demo_sharded.py", "--agents", "2048", "--steps", "12",
+     "--comm", "allgather", "--skip-check"],
 ]
 
 
