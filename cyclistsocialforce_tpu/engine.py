@@ -1283,8 +1283,9 @@ class Engine(struct.PyTreeNode):
         # scatter of the culled pair stage disappear. Original row order
         # is restored once at the end via the carried `ident` column.
         # Requires: no per-step recording of per-agent arrays (aggregated
-        # metrics are permutation-invariant), no scripted agents (their
-        # replay table is row-indexed), N divisible by the block size.
+        # metrics are permutation-invariant), N divisible by the block
+        # size. Scripted agents are fine since round 5: their replay
+        # tables are uid-indexed, so the replay follows permuted rows.
         sorted_resident = _flat_sorted_resident_ok(
             self, state, record, record_forces)
 
@@ -1341,7 +1342,7 @@ def _flat_sorted_resident_ok(engine, state, record, record_forces):
     across a whole run (shared by the chunked and flat simulate paths)."""
     return (engine.sorted_resident
             and engine.neighbors is not None and not record
-            and not record_forces and engine.scripted is None
+            and not record_forces
             and engine.pair_family != "custom"
             and state.n % engine.neighbors.block == 0)
 

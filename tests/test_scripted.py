@@ -107,3 +107,58 @@ def test_scripted_agent_ignores_forces():
     np.testing.assert_allclose(fx[:, 1], 0.0, atol=1e-12)
     np.testing.assert_allclose(fy[:, 1], 0.0, atol=1e-12)
     np.testing.assert_allclose(traj[:, 1, :4], car[1:, :4], atol=1e-12)
+
+
+def test_scripted_sorted_resident_matches_gather_path():
+    """Scripted agents under the sorted-resident culled fast path
+    (unlocked round 5 by uid-indexed replay tables): rows live in
+    cell-sorted order across rebuild chunks, the replay follows the
+    agent through the permutation, and the run bit-matches the
+    non-sorted-resident culled engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.engine import NeighborConfig, ScriptedTraj
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+    from cyclistsocialforce_tpu.state import set_destinations
+
+    n = 64
+    rng = np.random.default_rng(3)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-40, 40, n)
+    s0[:, 1] = rng.uniform(-40, 40, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    for a in range(n):
+        st = set_destinations(st, a, (rng.uniform(-50, 50),),
+                              (rng.uniform(-50, 50),))
+    t_script, ts = 25, 0.01
+    tr = {}
+    for a in (5, 40):
+        t = np.zeros((t_script, 4))
+        t[:, 0] = s0[a, 0] + 8 * ts * np.arange(1, t_script + 1)
+        t[:, 1] = s0[a, 1]
+        t[:, 3] = 8.0
+        tr[a] = t
+    sc = ScriptedTraj.create(n, tr, dtype=jnp.float64)
+    nbr = NeighborConfig(cutoff=1e3, block=16, kb=4, backend="xla",
+                         rebuild_every=4)
+    eng_sr = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
+                           scripted=sc, neighbors=nbr,
+                           sorted_resident=True)
+    eng_no = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
+                           scripted=sc, neighbors=nbr,
+                           sorted_resident=False)
+    n_steps = 30    # 25-step script: replay + hold, chunks + remainder
+    out_sr, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                                record=False))(eng_sr, st)
+    out_no, _ = jax.jit(lambda e, s: e.simulate(s, n_steps,
+                                                record=False))(eng_no, st)
+    np.testing.assert_allclose(np.asarray(out_sr.s),
+                               np.asarray(out_no.s), rtol=0, atol=1e-12)
+    # the scripted rows actually replayed (and held) their scripts
+    np.testing.assert_allclose(
+        np.asarray(out_sr.s)[5, 0], tr[5][-1, 0], rtol=0, atol=1e-12)

@@ -997,3 +997,48 @@ def test_sharded_mixed_halo_matches_single_device():
     assert not bool(ovf)
     np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
                                rtol=0, atol=1e-12)
+
+
+def test_sharded_scripted_culled_sorted_resident():
+    """Scripted agents through the CULLED sharded schedule (which takes
+    the sharded sorted-resident fast path now that replay tables are
+    uid-indexed): bit-matches the single-device culled run."""
+    import jax.numpy as jnp
+
+    from cyclistsocialforce_tpu import Engine, make_state
+    from cyclistsocialforce_tpu.engine import NeighborConfig, ScriptedTraj
+    from cyclistsocialforce_tpu.models import MODELS
+    from cyclistsocialforce_tpu.params import BicycleParams
+    from cyclistsocialforce_tpu.state import set_destinations
+    from cyclistsocialforce_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulate_fn)
+
+    n = 128
+    rng = np.random.default_rng(3)
+    s0 = np.zeros((n, 5))
+    s0[:, 0] = rng.uniform(-40, 40, n)
+    s0[:, 1] = rng.uniform(-40, 40, n)
+    s0[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    s0[:, 3] = rng.uniform(1, 6, n)
+    st = make_state(s0, dtype=np.float64)
+    for a in range(n):
+        st = set_destinations(st, a, (rng.uniform(-50, 50),),
+                              (rng.uniform(-50, 50),))
+    tr = {}
+    for a in (5, 100):
+        t = np.zeros((25, 4))
+        t[:, 0] = s0[a, 0] + 0.08 * np.arange(1, 26)
+        t[:, 1] = s0[a, 1]
+        t[:, 3] = 8.0
+        tr[a] = t
+    sc = ScriptedTraj.create(n, tr, dtype=jnp.float64)
+    nbr = NeighborConfig(cutoff=1e3, block=16, kb=8, backend="xla",
+                         rebuild_every=4)
+    eng = Engine.create(BicycleParams.create(), MODELS["bicycle2d"],
+                        scripted=sc, neighbors=nbr)
+    ref, _ = jax.jit(lambda e, s: e.simulate(s, 30, record=False))(eng, st)
+    mesh = make_mesh()
+    run = sharded_simulate_fn(eng, mesh, 30, record=False)
+    out, _ = run(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s),
+                               rtol=0, atol=1e-12)
